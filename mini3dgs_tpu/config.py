@@ -1,0 +1,181 @@
+"""Configuration system: flat dataclass + YAML (nested or flat) loader.
+
+Mirrors the reference surface (`/root/reference/config/config.py:33-95` and
+`config/default.yaml:1-51`) with the nested-YAML mapping fixed (reference bug
+B15: `TrainingConfig(**nested)` raised TypeError) and TPU-specific fields added
+(capacity/mesh/kernel knobs).  No import-time side effects (reference bug B14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+try:  # PyYAML is a soft dependency, as in the reference.
+    import yaml
+except Exception:  # pragma: no cover
+    yaml = None
+
+
+@dataclass
+class TrainingConfig:
+    """Flat hyperparameter surface (reference `config/config.py:33-67`)."""
+
+    # -- data paths (reference config.py:37-38, default.yaml data:) --
+    data_path: str = "data/scene"
+    images_path: str = "images"
+    sparse_path: str = "sparse/0"
+    output_path: str = "output"
+
+    # -- training (reference config.py:41-43, default.yaml training:) --
+    iterations: int = 30000
+    learning_rate: float = 0.0025
+    batch_size: int = 1
+    eval_interval: int = 1000
+    save_interval: int = 5000
+    log_interval: int = 100
+
+    # -- per-group learning rates (reference config.py:46-54) --
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_steps: int = 0
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+
+    # -- density control (reference config.py:57-60, default.yaml density_control:) --
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15000
+    densify_grad_threshold: float = 0.0002
+    densify_interval: int = 100
+    prune_opacity_threshold: float = 0.005
+    prune_interval: int = 1000
+    opacity_reset_interval: int = 3000  # canonical 3DGS cadence (reference leaves it unwired)
+    percent_dense_split: float = 0.03   # split if mean sigma > 0.03 * extent (gaussian_model.py:137)
+    percent_dense_clone: float = 0.01   # clone if mean sigma < 0.01 * extent (gaussian_model.py:166)
+
+    # -- rendering (reference config.py:63-64, default.yaml rendering:) --
+    image_height: int = 800
+    image_width: int = 800
+    background_color: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    tile_size: int = 16
+    radius_min: float = 0.01
+    radius_max: float = 50.0
+    sh_degree: int = 3
+    color_mode: str = "dc_sigmoid"  # "dc_sigmoid" (reference renderer.py:90) or "sh" (canonical 3DGS)
+    sh_increase_interval: int = 1000  # progressive SH degree unlock (canonical 3DGS)
+
+    # -- loss (reference default.yaml loss:) --
+    lambda_dssim: float = 0.2
+
+    # -- TPU-native knobs (new; no reference analog) --
+    capacity: int = 2 ** 17          # Gaussian slot-pool capacity (static shape under jit)
+    max_instances: int = 2 ** 20     # capacity of the (tile, depth)-key instance buffer
+    gaussian_chunk: int = 256        # Gaussians per VMEM chunk in the raster kernel
+    mesh_data: int = 1               # camera/data-parallel mesh axis size
+    mesh_tile: int = 1               # tile-parallel mesh axis size
+    use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
+    dtype: str = "float32"
+
+    # -- system (reference config.py:67, default.yaml system:) --
+    device: str = "tpu"
+    seed: int = 0
+
+
+# Mapping from nested YAML groups (reference default.yaml) to flat field names.
+_NESTED_MAP = {
+    ("data", "path"): "data_path",
+    ("data", "images_path"): "images_path",
+    ("data", "sparse_path"): "sparse_path",
+    ("data", "output_path"): "output_path",
+    ("training", "iterations"): "iterations",
+    ("training", "batch_size"): "batch_size",
+    ("training", "eval_interval"): "eval_interval",
+    ("training", "save_interval"): "save_interval",
+    ("training", "log_interval"): "log_interval",
+    ("learning_rates", "feature"): "feature_lr",
+    ("learning_rates", "opacity"): "opacity_lr",
+    ("learning_rates", "scaling"): "scaling_lr",
+    ("learning_rates", "rotation"): "rotation_lr",
+    ("density_control", "densify_from_iter"): "densify_from_iter",
+    ("density_control", "densify_until_iter"): "densify_until_iter",
+    ("density_control", "densify_grad_threshold"): "densify_grad_threshold",
+    ("density_control", "densify_interval"): "densify_interval",
+    ("density_control", "prune_opacity_threshold"): "prune_opacity_threshold",
+    ("density_control", "prune_interval"): "prune_interval",
+    ("density_control", "opacity_reset_interval"): "opacity_reset_interval",
+    ("rendering", "image_height"): "image_height",
+    ("rendering", "image_width"): "image_width",
+    ("rendering", "background_color"): "background_color",
+    ("rendering", "tile_size"): "tile_size",
+    ("rendering", "sh_degree"): "sh_degree",
+    ("rendering", "color_mode"): "color_mode",
+    ("loss", "lambda_dssim"): "lambda_dssim",
+    ("system", "device"): "device",
+    ("system", "seed"): "seed",
+    ("tpu", "capacity"): "capacity",
+    ("tpu", "max_instances"): "max_instances",
+    ("tpu", "gaussian_chunk"): "gaussian_chunk",
+    ("tpu", "mesh_data"): "mesh_data",
+    ("tpu", "mesh_tile"): "mesh_tile",
+    ("tpu", "use_pallas"): "use_pallas",
+}
+
+# learning_rates.position is itself nested one more level.
+_POSITION_LR_MAP = {
+    "init": "position_lr_init",
+    "final": "position_lr_final",
+    "delay_mult": "position_lr_delay_mult",
+    "delay_steps": "position_lr_delay_steps",
+    "max_steps": "position_lr_max_steps",
+}
+
+
+def _flatten_yaml(data: dict) -> dict:
+    """Accept either a flat dict of field names or the reference's nested layout."""
+    field_names = {f.name for f in dataclasses.fields(TrainingConfig)}
+    flat: dict = {}
+    for key, value in data.items():
+        if key in field_names and not isinstance(value, dict):
+            flat[key] = value
+        elif isinstance(value, dict):
+            for sub, subval in value.items():
+                if key == "learning_rates" and sub == "position" and isinstance(subval, dict):
+                    for k2, v2 in subval.items():
+                        if k2 in _POSITION_LR_MAP:
+                            flat[_POSITION_LR_MAP[k2]] = v2
+                elif (key, sub) in _NESTED_MAP:
+                    flat[_NESTED_MAP[(key, sub)]] = subval
+                elif sub in field_names:
+                    flat[sub] = subval
+        # silently ignore unknown scalar keys (forward compat)
+    return flat
+
+
+class ConfigManager:
+    """YAML <-> TrainingConfig (reference `config/config.py:69-95`, B15 fixed)."""
+
+    @staticmethod
+    def load_from_yaml(config_path: str) -> TrainingConfig:
+        if yaml is None:
+            raise ImportError("PyYAML is not installed")
+        with open(config_path, "r", encoding="utf-8") as f:
+            data = yaml.safe_load(f) or {}
+        return TrainingConfig(**_flatten_yaml(data))
+
+    @staticmethod
+    def save_to_yaml(config: TrainingConfig, config_path: str) -> None:
+        if yaml is None:
+            raise ImportError("PyYAML is not installed")
+        Path(config_path).parent.mkdir(parents=True, exist_ok=True)
+        with open(config_path, "w", encoding="utf-8") as f:
+            yaml.safe_dump(dataclasses.asdict(config), f, allow_unicode=True)
+
+    @staticmethod
+    def get_default_config() -> TrainingConfig:
+        return TrainingConfig()

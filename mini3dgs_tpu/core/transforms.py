@@ -1,0 +1,43 @@
+"""Rotation / covariance math (JAX), vectorized for the VPU.
+
+Reference semantics: `/root/reference/src/utils/math_utils.py:9-34`
+(wxyz quaternion -> rotation matrix with normalize-first, and
+Sigma = R diag(sigma^2) R^T).  The reference's broken isotropic
+`project_covariance_2d` (B13) is replaced by the full EWA chain in
+`ops/projection.py`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] wxyz quaternion -> [..., 3, 3] rotation. Normalizes first."""
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    R = jnp.stack([
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+    ], axis=-1)
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def build_covariance_3d(scaling: jnp.ndarray, rotation_q: jnp.ndarray) -> jnp.ndarray:
+    """Sigma = R diag(sigma^2) R^T, [..., 3, 3]; scaling holds sigma (not log)."""
+    R = quat_to_rotmat(rotation_q)
+    # R @ diag(s^2) @ R^T without materializing the diag: scale columns of R.
+    RS = R * (scaling[..., None, :] ** 2)
+    return jnp.einsum("...ij,...kj->...ik", RS, R)
+
+
+def inverse_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.log(x / (1.0 - x))
+
+
+def normalize_quat(q: jnp.ndarray) -> jnp.ndarray:
+    return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)

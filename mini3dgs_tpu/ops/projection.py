@@ -1,0 +1,122 @@
+"""EWA projection of 3D Gaussians to screen space + frustum culling (JAX).
+
+Reference semantics: `/root/reference/src/core/renderer.py:117-220` —
+world->camera transform, pinhole projection x = fx*X/Z + cx, y = -fy*Y/Z + cy
+(y-down; renderer.py:161-163), covariance chain Sigma_cam = Rv Sigma Rv^T,
+Sigma_2D = J Sigma_cam J^T + 1e-6 I with the projective Jacobian entries
+fx/Z, -fx*X/Z^2, -fy/Z, fy*Y/Z^2 (renderer.py:171-183), conic = Sigma_2D^-1,
+radius = 3*sqrt(lambda_max) clamped to [radius_min, radius_max]
+(renderer.py:186-192), and the cull predicate Z>0, -r<=x<W+r, -r<=y<H+r, r>0
+(renderer.py:201-220).
+
+TPU-first design: fully vectorized VPU math with *closed-form* 2x2 inverse and
+eigenvalues instead of batched `linalg.inv`/`eigvalsh`; culling is a mask (no
+compaction — static shapes); dead pool slots are masked out through `alive`.
+Everything here is differentiable and fuses under jit; the raster custom-VJP
+boundary is downstream in `ops/raster*`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sh as sh_lib
+from ..core.camera import Camera
+from ..core.gaussians import Gaussians
+
+
+class Projected(NamedTuple):
+    means2d: jnp.ndarray   # [C,2] pixel coordinates
+    conic: jnp.ndarray     # [C,3] (a, b, c) of the symmetric 2x2 conic Q
+    depth: jnp.ndarray     # [C]   camera-frame Z
+    radius: jnp.ndarray    # [C]   pixel radius (3 sigma), clamped
+    visible: jnp.ndarray   # [C]   bool cull mask (includes alive)
+    color: jnp.ndarray     # [C,3] decoded RGB
+    opacity: jnp.ndarray   # [C]   sigmoid opacity
+
+
+def project_gaussians(g: Gaussians, camera: Camera, *,
+                      radius_min: float = 0.01, radius_max: float = 50.0,
+                      color_mode: str = "dc_sigmoid", sh_degree: int = 0,
+                      scale_modifier: float = 1.0) -> Projected:
+    W, H = camera.width, camera.height
+    fx = 0.5 * W / jnp.tan(camera.FoVx * 0.5)
+    fy = 0.5 * H / jnp.tan(camera.FoVy * 0.5)
+    cx, cy = 0.5 * W, 0.5 * H
+
+    V = camera.view_matrix
+    Rv, Tv = V[:3, :3], V[:3, 3]
+
+    Xw = g.xyz
+    Xc = Xw @ Rv.T + Tv
+    X, Y, Z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+
+    # Guard divides: behind-camera / dead points get Z=1 then are culled.
+    front = Z > 1e-6
+    Zs = jnp.where(front, Z, 1.0)
+    invZ = 1.0 / Zs
+    invZ2 = invZ * invZ
+
+    xpix = fx * X * invZ + cx
+    ypix = -fy * Y * invZ + cy
+    means2d = jnp.stack([xpix, ypix], axis=-1)
+
+    # 3D covariance in camera frame: Sigma_cam = Rv Sigma Rv^T.
+    sigma = g.get_scaling * scale_modifier
+    cov3d = _cov3d(sigma, g.rotation)
+    cov_cam = jnp.einsum("ij,njk,lk->nil", Rv, cov3d, Rv)
+
+    # 2D covariance via the projective Jacobian, expanded in closed form:
+    # J = [[fx/Z, 0, -fx X/Z^2], [0, -fy/Z, fy Y/Z^2]]  (renderer.py:171-177)
+    j00 = fx * invZ
+    j02 = -fx * X * invZ2
+    j11 = -fy * invZ
+    j12 = fy * Y * invZ2
+    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
+    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    # row0 of J @ Sigma_cam: [j00*c00 + j02*c02, j00*c01 + j02*c12, j00*c02 + j02*c22]
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + 1e-6
+    b = j11 * (j00 * c01 + j02 * c12) + j12 * (j00 * c02 + j02 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + 1e-6
+
+    # conic = [[a,b],[b,c]]^-1 in closed form.
+    det = a * c - b * b
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv_det = 1.0 / det
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # radius = 3 sqrt(lambda_max), closed-form symmetric 2x2 eigenvalue.
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    lam_max = jnp.maximum(mid + disc, 1e-12)
+    radius = jnp.clip(3.0 * jnp.sqrt(lam_max), radius_min, radius_max)
+
+    visible = (front & g.alive
+               & (xpix >= -radius) & (xpix < W + radius)
+               & (ypix >= -radius) & (ypix < H + radius)
+               & (radius > 0))
+
+    # Color decode (renderer.py:88-92 uses sigmoid(DC); "sh" is canonical 3DGS).
+    if color_mode == "dc_sigmoid":
+        color = jax.nn.sigmoid(g.features_dc[:, 0, :])
+    elif color_mode == "sh":
+        dirs = Xw - camera.camera_center[None, :]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        color = sh_lib.sh_to_rgb(sh_degree, g.get_features, dirs)
+    else:
+        raise ValueError(f"unknown color_mode {color_mode!r}")
+
+    opacity = jax.nn.sigmoid(g.opacity[:, 0])
+    return Projected(means2d=means2d, conic=conic, depth=Z, radius=radius,
+                     visible=visible, color=color, opacity=opacity)
+
+
+def _cov3d(sigma: jnp.ndarray, rot_q: jnp.ndarray) -> jnp.ndarray:
+    from ..core.transforms import quat_to_rotmat
+    R = quat_to_rotmat(rot_q)
+    RS = R * (sigma[..., None, :] ** 2)
+    return jnp.einsum("...ij,...kj->...ik", RS, R)

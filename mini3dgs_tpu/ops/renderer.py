@@ -1,0 +1,89 @@
+"""Differentiable renderer: projection -> cull -> sort -> tile raster -> blend.
+
+Reference API surface: `/root/reference/src/core/renderer.py:13-114`
+(`RenderSettings`, `GaussianRenderer.render` returning image/alpha/depth/
+viewspace_points/visibility_filter/radii/conics).  Functional here: pure
+`render(gaussians, camera, settings) -> dict`, jit/grad/shard_map friendly.
+
+Two compute paths:
+  * golden  — vectorized jnp (ops/raster_ref.py), XLA autodiff end to end.
+  * pallas  — tile binning + fused Pallas TPU kernels with a hand-written VJP
+              (ops/binning.py, ops/raster_pallas.py).
+Both share the projection op and are validated against each other in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.camera import Camera
+from ..core.gaussians import Gaussians
+from . import raster_ref
+from .projection import project_gaussians
+
+
+@struct.dataclass
+class RenderSettings:
+    """Reference RenderSettings (renderer.py:13-20) + TPU kernel knobs."""
+
+    image_height: int = struct.field(pytree_node=False, default=256)
+    image_width: int = struct.field(pytree_node=False, default=256)
+    bg_color: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((3,), jnp.float32))
+    scale_modifier: float = struct.field(pytree_node=False, default=1.0)
+    debug: bool = struct.field(pytree_node=False, default=False)
+    # TPU knobs
+    tile_size: int = struct.field(pytree_node=False, default=16)
+    radius_min: float = struct.field(pytree_node=False, default=0.01)
+    radius_max: float = struct.field(pytree_node=False, default=50.0)
+    color_mode: str = struct.field(pytree_node=False, default="dc_sigmoid")
+    sh_degree: int = struct.field(pytree_node=False, default=0)
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
+    max_instances: int = struct.field(pytree_node=False, default=2 ** 18)
+    gaussian_chunk: int = struct.field(pytree_node=False, default=256)
+    # Tile-sharding offsets: this invocation renders rows [row0, row0+H).
+    row0: int = struct.field(pytree_node=False, default=0)
+    col0: int = struct.field(pytree_node=False, default=0)
+
+
+def render(gaussians: Gaussians, camera: Camera,
+           settings: Optional[RenderSettings] = None) -> dict:
+    """Render one view.  Returns the reference's output dict
+    (renderer.py:106-114): image [3,H,W], alpha [1,H,W], depth [1,H,W],
+    viewspace_points [C,2], visibility_filter [C], radii [C], conics [C,3]."""
+    if settings is None:
+        settings = RenderSettings(image_height=camera.height,
+                                  image_width=camera.width)
+    H, W = settings.image_height, settings.image_width
+    bg = jnp.asarray(settings.bg_color, jnp.float32)
+
+    proj = project_gaussians(
+        gaussians, camera,
+        radius_min=settings.radius_min, radius_max=settings.radius_max,
+        color_mode=settings.color_mode, sh_degree=settings.sh_degree,
+        scale_modifier=settings.scale_modifier)
+
+    if settings.use_pallas:
+        from .raster_pallas import rasterize_tiles
+        out = rasterize_tiles(proj, H, W, bg,
+                              tile_size=settings.tile_size,
+                              max_instances=settings.max_instances,
+                              gaussian_chunk=settings.gaussian_chunk,
+                              row0=settings.row0, col0=settings.col0)
+    else:
+        out = raster_ref.rasterize_image(
+            proj.means2d, proj.conic, proj.depth, proj.color, proj.opacity,
+            proj.visible, H, W, bg, row0=settings.row0, col0=settings.col0)
+
+    return {
+        "image": out["image"],
+        "alpha": out["alpha"],
+        "depth": out["depth"],
+        "viewspace_points": proj.means2d,
+        "visibility_filter": proj.visible,
+        "radii": proj.radius,
+        "conics": proj.conic,
+    }

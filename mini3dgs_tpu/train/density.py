@@ -1,0 +1,156 @@
+"""Adaptive density control under static shapes (jit-safe slot-pool surgery).
+
+Reference semantics (SURVEY.md §2.2, `/root/reference/src/core/gaussian_model.py`
+and `src/core/optimizer.py:34-88`):
+  * split  (gaussian_model.py:130-156): candidates with ||grad_xyz|| > tau and
+    mean(sigma) > 0.03*extent are replaced by TWO children offset
+    +-0.5*mean(sigma) along the rotated principal axis R[:,:,0], child scale
+    0.75*sigma (stored as log), same rotation/features, opacity logit clamped
+    to +-6; the parent is removed (net +k for k candidates).
+  * clone  (gaussian_model.py:159-179): candidates with ||grad_xyz|| > tau and
+    mean(sigma) < 0.01*extent get one appended copy jittered by
+    N(0,1)*0.5*mean(sigma); the original persists.
+  * prune  (optimizer.py:64-66): keep opacity > threshold.
+  * cadence (optimizer.py:39-41): densify_from_iter <= it <= densify_until_iter
+    and it % densify_interval == 0.
+
+TPU-first redesign: the reference's concat/boolean-index reparameterization
+changes array shapes; here everything is a masked scatter into free slots of
+the fixed-capacity pool, so the whole operation jit-compiles once.  Children
+that exceed capacity are dropped (tracked via the returned count).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainingConfig
+from ..core.gaussians import Gaussians
+from ..core.transforms import quat_to_rotmat
+
+
+class DensifyResult(NamedTuple):
+    gaussians: Gaussians
+    changed_slots: jnp.ndarray  # [C] bool: slots whose Adam state must reset
+    n_split: jnp.ndarray
+    n_clone: jnp.ndarray
+    n_pruned: jnp.ndarray
+    n_dropped: jnp.ndarray      # children lost to capacity overflow
+
+
+def should_densify(iteration: int, config: TrainingConfig) -> bool:
+    """Host-side cadence check (reference optimizer.py:39-41)."""
+    return (config.densify_from_iter <= iteration <= config.densify_until_iter
+            and iteration % config.densify_interval == 0)
+
+
+def accumulate_grad_stats(g: Gaussians, xyz_grad: jnp.ndarray,
+                          radii: jnp.ndarray, visible: jnp.ndarray) -> Gaussians:
+    """Accumulate per-step ||grad_xyz|| into the stat buffers
+    (reference buffers gaussian_model.py:29-31; accumulation is the canonical
+    3DGS pattern the reference declares but never wires — SURVEY §2.2)."""
+    norm = jnp.linalg.norm(xyz_grad, axis=-1)
+    vis = visible.astype(jnp.float32)
+    return g.replace(
+        xyz_gradient_accum=g.xyz_gradient_accum + norm * vis,
+        denom=g.denom + vis,
+        max_radii2D=jnp.maximum(g.max_radii2D, radii * vis),
+    )
+
+
+def densify_and_prune(g: Gaussians, key: jax.Array, scene_extent,
+                      config: TrainingConfig) -> DensifyResult:
+    C = g.capacity
+    # Mean accumulated gradient norm (visible steps only).
+    grad = g.xyz_gradient_accum / jnp.maximum(g.denom, 1.0)
+    sigma = g.get_scaling                       # [C,3]
+    size = sigma.mean(axis=-1)                  # [C]
+    tau = config.densify_grad_threshold
+
+    split_mask = g.alive & (grad > tau) & (size > config.percent_dense_split * scene_extent)
+    clone_mask = g.alive & (grad > tau) & (size < config.percent_dense_clone * scene_extent)
+
+    n_split = split_mask.sum()
+    n_clone = clone_mask.sum()
+
+    # Parents of splits die; their slots become reusable immediately.
+    alive_after_kill = g.alive & ~split_mask
+    free_idx = jnp.nonzero(~alive_after_kill, size=C, fill_value=C)[0]  # ascending
+    n_free = (~alive_after_kill).sum()
+
+    split_rank = jnp.cumsum(split_mask) - 1     # [C], valid where split_mask
+    clone_rank = jnp.cumsum(clone_mask) - 1
+
+    def take_free(rank):
+        """free slot for allocation-order `rank`; C (=dropped) if exhausted."""
+        ok = (rank >= 0) & (rank < n_free)
+        return jnp.where(ok, free_idx[jnp.clip(rank, 0, C - 1)], C)
+
+    slot_child1 = take_free(jnp.where(split_mask, split_rank, -1))
+    slot_child2 = take_free(jnp.where(split_mask, n_split + split_rank, -1))
+    slot_clone = take_free(jnp.where(clone_mask, 2 * n_split + clone_rank, -1))
+
+    # ---- child parameter construction (at parent rows; scattered below) ----
+    R = quat_to_rotmat(g.get_rotation)          # [C,3,3]
+    mean_sig = sigma.mean(axis=-1, keepdims=True)
+    offset = R[:, :, 0] * (mean_sig * 0.5)      # principal-axis offset
+    split_xyz1 = g.xyz - offset
+    split_xyz2 = g.xyz + offset
+    split_scaling = jnp.log(jnp.maximum(sigma * 0.75, 1e-12))
+    split_opacity = jnp.clip(g.opacity, -6.0, 6.0)
+
+    jitter = jax.random.normal(key, g.xyz.shape) * (mean_sig * 0.5)
+    clone_xyz = g.xyz + jitter
+
+    def scatter(dst, slots, src):
+        return dst.at[slots].set(src, mode="drop")
+
+    new = dict(xyz=g.xyz, features_dc=g.features_dc,
+               features_rest=g.features_rest, scaling=g.scaling,
+               rotation=g.rotation, opacity=g.opacity)
+
+    for slots, xyz_src, scaling_src, opacity_src in (
+            (slot_child1, split_xyz1, split_scaling, split_opacity),
+            (slot_child2, split_xyz2, split_scaling, split_opacity),
+            (slot_clone, clone_xyz, g.scaling, g.opacity)):
+        new["xyz"] = scatter(new["xyz"], slots, xyz_src)
+        new["features_dc"] = scatter(new["features_dc"], slots, g.features_dc)
+        new["features_rest"] = scatter(new["features_rest"], slots, g.features_rest)
+        new["scaling"] = scatter(new["scaling"], slots, scaling_src)
+        new["rotation"] = scatter(new["rotation"], slots, g.rotation)
+        new["opacity"] = scatter(new["opacity"], slots, opacity_src)
+
+    # Non-candidates carry slot C, which mode="drop" discards.
+    alive = alive_after_kill
+    for slots in (slot_child1, slot_child2, slot_clone):
+        alive = alive.at[slots].set(True, mode="drop")
+
+    # ---- prune by opacity (reference optimizer.py:64-66) ----
+    opacity_sig = jax.nn.sigmoid(new["opacity"][:, 0])
+    keep = opacity_sig > 0.01
+    n_pruned = (alive & ~keep).sum()
+    alive_final = alive & keep
+
+    changed = (alive_final != g.alive)
+    # also reset moments for any slot that got a child scattered into it
+    for slots in (slot_child1, slot_child2, slot_clone):
+        changed = changed.at[slots].set(True, mode="drop")
+
+    n_children_wanted = 2 * n_split + n_clone
+    n_alloc = ((slot_child1 < C).sum() + (slot_child2 < C).sum()
+               + (slot_clone < C).sum())
+    n_dropped = n_children_wanted - n_alloc
+
+    g_new = g.replace(
+        xyz=new["xyz"], features_dc=new["features_dc"],
+        features_rest=new["features_rest"], scaling=new["scaling"],
+        rotation=new["rotation"], opacity=new["opacity"],
+        alive=alive_final,
+        xyz_gradient_accum=jnp.zeros_like(g.xyz_gradient_accum),
+        denom=jnp.zeros_like(g.denom),
+        max_radii2D=jnp.zeros_like(g.max_radii2D),
+    )
+    return DensifyResult(g_new, changed, n_split, n_clone, n_pruned, n_dropped)

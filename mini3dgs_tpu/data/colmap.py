@@ -1,0 +1,203 @@
+"""COLMAP model parsers: cameras / images / points3D, text AND binary.
+
+The reference documents this pipeline but leaves it entirely stubbed
+(`/root/reference/src/data/dataset.py:35-61`, `src/data/colmap_utils.py` is a
+0-byte file).  Formats follow the public COLMAP sparse-model layout
+(cameras.txt/bin, images.txt/bin, points3D.txt/bin).
+
+Camera conventions: COLMAP stores world->camera as (qvec wxyz, tvec); the
+camera center is C = -R(q)^T t and the camera->world rotation is R(q)^T —
+those are exactly the (R, T) our Camera.create(from_c2w) expects.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# COLMAP camera model ids -> (name, num_params)
+CAMERA_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5), 4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12), 7: ("FOV", 5), 8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5), 10: ("THIN_PRISM_FISHEYE", 12),
+}
+CAMERA_MODEL_IDS = {name: mid for mid, (name, _) in CAMERA_MODELS.items()}
+
+
+@dataclass
+class ColmapCamera:
+    id: int
+    model: str
+    width: int
+    height: int
+    params: np.ndarray  # model-specific
+
+    def focal(self) -> Tuple[float, float]:
+        if self.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+                          "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+            return float(self.params[0]), float(self.params[0])
+        return float(self.params[0]), float(self.params[1])
+
+
+@dataclass
+class ColmapImage:
+    id: int
+    qvec: np.ndarray   # [4] wxyz, world->camera rotation
+    tvec: np.ndarray   # [3] world->camera translation
+    camera_id: int
+    name: str
+
+
+def qvec_to_rotmat(qvec: np.ndarray) -> np.ndarray:
+    w, x, y, z = qvec
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], dtype=np.float64)
+
+
+def image_c2w(img: ColmapImage) -> Tuple[np.ndarray, np.ndarray]:
+    """(R_c2w, camera_center) from a COLMAP world->camera pose."""
+    R_wc = qvec_to_rotmat(img.qvec)
+    center = -R_wc.T @ img.tvec
+    return R_wc.T.astype(np.float32), center.astype(np.float32)
+
+
+# ----------------------------- text readers -----------------------------
+
+def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
+    cams: Dict[int, ColmapCamera] = {}
+    with open(path, "r", encoding="utf-8", errors="ignore") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cid = int(parts[0])
+            cams[cid] = ColmapCamera(cid, parts[1], int(parts[2]), int(parts[3]),
+                                     np.array([float(v) for v in parts[4:]]))
+    return cams
+
+
+def read_images_text(path: str) -> Dict[int, ColmapImage]:
+    imgs: Dict[int, ColmapImage] = {}
+    with open(path, "r", encoding="utf-8", errors="ignore") as f:
+        lines = [l.strip() for l in f
+                 if l.strip() and not l.strip().startswith("#")]
+    # images.txt alternates: pose line, then 2D-point line (skipped)
+    for pose_line in lines[0::2]:
+        parts = pose_line.split()
+        iid = int(parts[0])
+        qvec = np.array([float(v) for v in parts[1:5]])
+        tvec = np.array([float(v) for v in parts[5:8]])
+        imgs[iid] = ColmapImage(iid, qvec, tvec, int(parts[8]), parts[9])
+    return imgs
+
+
+def read_points3d_text(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    points, colors = [], []
+    with open(path, "r", encoding="utf-8", errors="ignore") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 7:
+                continue
+            points.append([float(v) for v in parts[1:4]])
+            colors.append([float(v) / 255.0 for v in parts[4:7]])
+    return (np.asarray(points, np.float32), np.asarray(colors, np.float32))
+
+
+# ---------------------------- binary readers ----------------------------
+
+def _read(f, fmt: str):
+    return struct.unpack(fmt, f.read(struct.calcsize(fmt)))
+
+
+def read_cameras_binary(path: str) -> Dict[int, ColmapCamera]:
+    cams: Dict[int, ColmapCamera] = {}
+    with open(path, "rb") as f:
+        (n,) = _read(f, "<Q")
+        for _ in range(n):
+            cid, model_id, w, h = _read(f, "<iiQQ")
+            name, num_params = CAMERA_MODELS[model_id]
+            params = np.array(_read(f, f"<{num_params}d"))
+            cams[cid] = ColmapCamera(cid, name, int(w), int(h), params)
+    return cams
+
+
+def read_images_binary(path: str) -> Dict[int, ColmapImage]:
+    imgs: Dict[int, ColmapImage] = {}
+    with open(path, "rb") as f:
+        (n,) = _read(f, "<Q")
+        for _ in range(n):
+            iid = _read(f, "<i")[0]
+            qvec = np.array(_read(f, "<4d"))
+            tvec = np.array(_read(f, "<3d"))
+            (camera_id,) = _read(f, "<i")
+            name = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00":
+                    break
+                name += c
+            (n2d,) = _read(f, "<Q")
+            f.seek(24 * n2d, 1)  # skip 2D points (x, y double + point3D id)
+            imgs[iid] = ColmapImage(iid, qvec, tvec, camera_id, name.decode())
+    return imgs
+
+
+def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        (n,) = _read(f, "<Q")
+        pts = np.empty((n, 3), np.float32)
+        cols = np.empty((n, 3), np.float32)
+        for i in range(n):
+            _id = _read(f, "<Q")
+            pts[i] = _read(f, "<3d")
+            cols[i] = np.array(_read(f, "<3B")) / 255.0
+            _err = _read(f, "<d")
+            (track_len,) = _read(f, "<Q")
+            f.seek(8 * track_len, 1)
+    return pts, cols
+
+
+# ---------------------------- binary writers (for tests/preprocess) ----------
+
+def write_cameras_binary(cams: Dict[int, ColmapCamera], path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for c in cams.values():
+            f.write(struct.pack("<iiQQ", c.id, CAMERA_MODEL_IDS[c.model],
+                                c.width, c.height))
+            f.write(struct.pack(f"<{len(c.params)}d", *c.params))
+
+
+def write_images_binary(imgs: Dict[int, ColmapImage], path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(imgs)))
+        for im in imgs.values():
+            f.write(struct.pack("<i", im.id))
+            f.write(struct.pack("<4d", *im.qvec))
+            f.write(struct.pack("<3d", *im.tvec))
+            f.write(struct.pack("<i", im.camera_id))
+            f.write(im.name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+
+
+def write_points3d_binary(pts: np.ndarray, cols: np.ndarray, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(pts)))
+        for i in range(len(pts)):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<3d", *pts[i].astype(np.float64)))
+            f.write(struct.pack("<3B", *(np.clip(cols[i], 0, 1) * 255).astype(np.uint8)))
+            f.write(struct.pack("<d", 0.0))
+            f.write(struct.pack("<Q", 0))

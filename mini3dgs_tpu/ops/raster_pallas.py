@@ -1,0 +1,364 @@
+"""Fused Pallas TPU tile-rasterization kernels with a hand-written VJP.
+
+This is the TPU-native replacement for the reference's Python triple loop
+(`/root/reference/src/core/renderer.py:300-362`) — the component that is the
+CUDA extension `diff-gaussian-rasterization` in the canonical 3DGS ecosystem
+(SURVEY §2.4).
+
+Design (one grid cell per 16x16 image tile):
+  * the tile's depth-sorted instance slice (chunk-aligned by ops/binning.py)
+    is streamed from HBM into VMEM in fixed-size chunks;
+  * per chunk, the [P pixels x G gaussians] quadratic form / exp / alpha math
+    runs on the VPU; the per-chunk transmittance is an exact Hillis-Steele
+    cumulative product (the vectorized equivalent of the sequential
+    front-to-back loop — see ops/raster_ref.py for the equivalence argument);
+  * the weighted accumulation of [r,g,b,depth,alpha] is ONE [8,G]x[G,P]
+    `dot_general` on the MXU;
+  * a `while_loop` over chunks stops early once every pixel in the tile is
+    saturated (A >= 0.995, reference renderer.py:316-353).
+
+Backward (custom VJP, original-3DGS style but replayed *front-to-back*):
+  dL/dalpha_j = u_j*T_j*gate_j - S_j/(1-alpha_j), where u_j = <dOut, c_j> is
+  one MXU matmul and the suffix sum S_j = <dOut, O_total> - prefix(u*w) needs
+  only the saved forward output and a running prefix — no back-to-front pass,
+  no atomics: every instance belongs to exactly one tile, so per-instance
+  gradients are written to disjoint chunk-aligned slices and scattered back to
+  Gaussians by XLA's gather-transpose outside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import dtypes as jax_dtypes
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import binning as B
+from .projection import Projected
+from .raster_ref import EARLY_STOP_A, W_EPS
+
+N_ROWS = B.N_ROWS  # 16
+N_ACC = 8          # accumulator channels: r, g, b, depth, alpha, 3 pad
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cumprod_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative product along the last axis via Hillis-Steele
+    doubling (log2(n) VPU steps; static slices only, Mosaic-friendly)."""
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.ones_like(x[..., :k]), x[..., :-k]], axis=-1)
+        x = x * shifted
+        k *= 2
+    return x
+
+
+def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[..., :k]), x[..., :-k]], axis=-1)
+        x = x + shifted
+        k *= 2
+    return x
+
+
+def _pixel_coords(t, tile_size, tiles_x, row0, col0, P):
+    ty = t // tiles_x
+    tx = t % tiles_x
+    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (tx * tile_size + pix % tile_size + col0).astype(jnp.float32)
+    py = (ty * tile_size + pix // tile_size + row0).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(ch, px, py, count, ci, G):
+    """Shared fwd/bwd per-chunk alpha math.  ch: [16,G] VMEM chunk."""
+    x = ch[B.ROW_X:B.ROW_X + 1, :]
+    y = ch[B.ROW_Y:B.ROW_Y + 1, :]
+    qa = ch[B.ROW_QA:B.ROW_QA + 1, :]
+    qb = ch[B.ROW_QB:B.ROW_QB + 1, :]
+    qc = ch[B.ROW_QC:B.ROW_QC + 1, :]
+    op = ch[B.ROW_OP:B.ROW_OP + 1, :]
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + ci * G
+    valid = (lidx < count).astype(jnp.float32)
+    dx = px - x                                   # [P, G]
+    dy = py - y
+    s = dx * dx * qa + 2.0 * dx * dy * qb + dy * dy * qc
+    w = jnp.clip(jnp.exp(-0.5 * s), 0.0, 1.0)
+    a_raw = op * w
+    alpha = jnp.clip(a_raw, 0.0, 1.0) * (w >= W_EPS).astype(jnp.float32) * valid
+    return dict(dx=dx, dy=dy, qa=qa, qb=qb, qc=qc, op=op, w=w, a_raw=a_raw,
+                alpha=alpha, valid=valid)
+
+
+# ======================== forward kernel ========================
+
+def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
+                chunk_ref, sem, *, tile_size, tiles_x, G, row0, col0):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    P = tile_size * tile_size
+    px, py = _pixel_coords(t, tile_size, tiles_x, row0, col0, P)
+    n_chunks = (count + G - 1) // G
+
+    def body(carry):
+        ci, T, acc = carry
+        cp = pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(start + ci * G, G)], chunk_ref, sem)
+        cp.start()
+        cp.wait()
+        ch = chunk_ref[:]
+        m = _chunk_alpha(ch, px, py, count, ci, G)
+        one_minus = 1.0 - m["alpha"]
+        cprod = _cumprod_last(one_minus)
+        T_excl = jnp.concatenate(
+            [jnp.ones_like(cprod[:, :1]), cprod[:, :-1]], axis=-1)
+        T_before = T * T_excl
+        gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
+        contrib = T_before * m["alpha"] * gate     # [P, G]
+        cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
+        acc = acc + jax.lax.dot_general(
+            cmat, contrib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [8, P]
+        T = T * cprod[:, -1:]
+        return ci + 1, T, acc
+
+    def cond(carry):
+        ci, T, _ = carry
+        return jnp.logical_and(ci < n_chunks,
+                               jnp.max(T) > (1.0 - EARLY_STOP_A))
+
+    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((N_ACC, P), jnp.float32))
+    _, _, acc = jax.lax.while_loop(cond, body, init)
+    out_ref[0] = acc
+
+
+# ======================== backward kernel ========================
+
+def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
+                dinst_hbm, chunk_ref, dchunk_ref, sem, wsem,
+                *, tile_size, tiles_x, G, row0, col0):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    P = tile_size * tile_size
+    px, py = _pixel_coords(t, tile_size, tiles_x, row0, col0, P)
+    n_chunks = (count + G - 1) // G
+
+    gout = gout_ref[0]                 # [8, P] cotangent of raw accumulators
+    oraw = oraw_ref[0]                 # [8, P] saved forward accumulators
+    # total_p = <dOut, O_total> per pixel, as a [P,1] column.
+    total = jnp.swapaxes(jnp.sum(gout * oraw, axis=0, keepdims=True), 0, 1)
+
+    def body(carry):
+        ci, T, prefix = carry
+        cp = pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds(start + ci * G, G)], chunk_ref, sem)
+        cp.start()
+        cp.wait()
+        ch = chunk_ref[:]
+        m = _chunk_alpha(ch, px, py, count, ci, G)
+        alpha = m["alpha"]
+        one_minus = 1.0 - alpha
+        cprod = _cumprod_last(one_minus)
+        T_excl = jnp.concatenate(
+            [jnp.ones_like(cprod[:, :1]), cprod[:, :-1]], axis=-1)
+        T_before = T * T_excl
+        gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
+        wgt = T_before * alpha * gate              # [P, G] contribution weights
+
+        cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
+        # u[p,i] = <dOut_p, c_i>
+        u = jax.lax.dot_general(gout, cmat, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [P, G]
+        uw = u * wgt
+        incl = _cumsum_last(uw) + prefix           # inclusive prefix of u*w
+        S = total - incl                           # suffix sum over i > j
+        d_alpha = u * T_before * gate - S / jnp.maximum(one_minus, 1e-6)
+
+        # chain through alpha = clip(op*w,0,1)*(w>=eps)*valid
+        w = m["w"]
+        mask = ((m["a_raw"] < 1.0) & (m["a_raw"] > 0.0)
+                & (w >= W_EPS)).astype(jnp.float32) * m["valid"]
+        d_aw = d_alpha * mask                      # d(op*w)
+        d_op_pix = d_aw * w
+        d_w = d_aw * m["op"]
+        # w = clip(exp(-0.5 s), 0, 1); s >= 0 so only the upper clamp can bind
+        d_s = -0.5 * w * d_w * (w < 1.0).astype(jnp.float32)
+        dx, dy = m["dx"], m["dy"]
+        d_qa = d_s * dx * dx
+        d_qb = 2.0 * d_s * dx * dy
+        d_qc = d_s * dy * dy
+        d_dx = d_s * (2.0 * m["qa"] * dx + 2.0 * m["qb"] * dy)
+        d_dy = d_s * (2.0 * m["qc"] * dy + 2.0 * m["qb"] * dx)
+
+        def colsum(v):                             # [P,G] -> [1,G]
+            return jnp.sum(v, axis=0, keepdims=True)
+
+        # d_color/d_depth via one MXU matmul: [8,P] x [P,G] -> [8,G]
+        d_cmat = jax.lax.dot_general(gout, wgt, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        d_chunk = jnp.concatenate([
+            colsum(-d_dx),                         # ROW_X
+            colsum(-d_dy),                         # ROW_Y
+            colsum(d_qa),                          # ROW_QA
+            colsum(d_qb),                          # ROW_QB
+            colsum(d_qc),                          # ROW_QC
+            colsum(d_op_pix),                      # ROW_OP
+            d_cmat[0:4, :],                        # ROW_R..ROW_DEPTH
+            jnp.zeros((N_ROWS - 10, G), jnp.float32),
+        ], axis=0)
+        dchunk_ref[:] = d_chunk
+        wr = pltpu.make_async_copy(
+            dchunk_ref, dinst_hbm.at[:, pl.ds(start + ci * G, G)], wsem)
+        wr.start()
+        wr.wait()
+
+        T = T * cprod[:, -1:]
+        prefix = incl[:, -1:]
+        return ci + 1, T, prefix
+
+    def cond(carry):
+        ci, T, _ = carry
+        return jnp.logical_and(ci < n_chunks,
+                               jnp.max(T) > (1.0 - EARLY_STOP_A))
+
+    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32))
+    stop_ci, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Chunks skipped by early exit still own slots in d_inst: write zeros so
+    # the XLA scatter-back sees exact zero gradients (not garbage).
+    def zbody(ci):
+        dchunk_ref[:] = jnp.zeros((N_ROWS, G), jnp.float32)
+        wr = pltpu.make_async_copy(
+            dchunk_ref, dinst_hbm.at[:, pl.ds(start + ci * G, G)], wsem)
+        wr.start()
+        wr.wait()
+        return ci + 1
+
+    jax.lax.while_loop(lambda ci: ci < n_chunks, zbody, stop_ci)
+
+
+# ======================== pallas_call wrappers ========================
+
+@functools.lru_cache(maxsize=64)
+def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
+                    K_pad: int, row0: int, col0: int, interpret: bool):
+    P = tile_size * tile_size
+    kern_fwd = functools.partial(_fwd_kernel, tile_size=tile_size,
+                                 tiles_x=tiles_x, G=G, row0=row0, col0=col0)
+    kern_bwd = functools.partial(_bwd_kernel, tile_size=tile_size,
+                                 tiles_x=tiles_x, G=G, row0=row0, col0=col0)
+
+    fwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((N_ROWS, G), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+
+    def fwd_call(inst, tile_start, tile_count):
+        return pl.pallas_call(
+            kern_fwd,
+            out_shape=jax.ShapeDtypeStruct((num_tiles, N_ACC, P), jnp.float32),
+            grid_spec=fwd_grid,
+            interpret=interpret,
+        )(tile_start, tile_count, inst)
+
+    bwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((N_ROWS, G), jnp.float32),
+                        pltpu.VMEM((N_ROWS, G), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+    )
+
+    def bwd_call(inst, tile_start, tile_count, gout, oraw):
+        return pl.pallas_call(
+            kern_bwd,
+            out_shape=jax.ShapeDtypeStruct((N_ROWS, K_pad), jnp.float32),
+            grid_spec=bwd_grid,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(tile_start, tile_count, inst, gout, oraw)
+
+    @jax.custom_vjp
+    def raster_op(inst, tile_start, tile_count):
+        return fwd_call(inst, tile_start, tile_count)
+
+    def raster_fwd(inst, tile_start, tile_count):
+        out = fwd_call(inst, tile_start, tile_count)
+        return out, (inst, tile_start, tile_count, out)
+
+    def raster_bwd(res, gout):
+        inst, tile_start, tile_count, oraw = res
+        d_inst = bwd_call(inst, tile_start, tile_count, gout, oraw)
+        zero_i = np.zeros(tile_start.shape, jax_dtypes.float0)
+        return d_inst, zero_i, zero_i
+
+    raster_op.defvjp(raster_fwd, raster_bwd)
+    return raster_op
+
+
+def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
+                    tile_size: int = 16, max_instances: int = 2 ** 18,
+                    gaussian_chunk: int = 256, row0: int = 0, col0: int = 0,
+                    radius_max: float = 50.0, interpret=None) -> dict:
+    """Full Pallas raster path: binning -> fused tile kernel -> epilogue.
+    Differentiable w.r.t. `proj` fields (instance packing is an XLA gather,
+    whose transpose scatter-adds the kernel's per-instance gradients)."""
+    if interpret is None:
+        interpret = _interpret()
+    tiles_x = -(-W // tile_size)
+    tiles_y = -(-H // tile_size)
+    num_tiles = tiles_x * tiles_y
+    G = gaussian_chunk
+    b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
+                        radius_max=radius_max)
+    K_pad = b.inst.shape[1]
+    op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K_pad,
+                         row0, col0, interpret)
+    # Gradient hygiene for the unwritten tail of d_inst (beyond all padded
+    # slices): mask the instance matrix columns so the VJP's gather-transpose
+    # never reads kernel garbage.  col < padded_total is exactly the written
+    # region.
+    col_written = (jnp.arange(K_pad) < b.padded_total)
+    # jnp.where's VJP masks the cotangent with the same predicate, which is
+    # exactly the hygiene we need (d_inst tail garbage never reaches params).
+    inst = jnp.where(col_written[None, :], b.inst, 0.0)
+    acc = op(inst, b.tile_start, b.tile_count)     # [T, 8, P]
+
+    img = acc.reshape(tiles_y, tiles_x, N_ACC, tile_size, tile_size)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        N_ACC, tiles_y * tile_size, tiles_x * tile_size)[:, :H, :W]
+    rgb, D, A = img[0:3], img[3], img[4]
+    image = jnp.clip(rgb + (1.0 - A)[None] * bg[:, None, None], 0.0, 1.0)
+    alpha = jnp.clip(A, 0.0, 1.0)[None]
+    depth = (D / (A + 1e-6))[None]
+    return {"image": image, "alpha": alpha, "depth": depth}

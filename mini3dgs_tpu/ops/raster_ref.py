@@ -46,7 +46,8 @@ def composite_chunk(px: jnp.ndarray, py: jnp.ndarray,
     s = dx * dx * qa[None, :] + 2.0 * dx * dy * qb[None, :] + dy * dy * qc[None, :]
     w = jnp.clip(jnp.exp(-0.5 * s), 0.0, 1.0)
     alpha = jnp.clip(op[None, :] * w, 0.0, 1.0)
-    alpha = jnp.where((w >= W_EPS) & valid[None, :], alpha, 0.0)
+    valid_b = valid if valid.ndim == 2 else valid[None, :]
+    alpha = jnp.where((w >= W_EPS) & valid_b, alpha, 0.0)
     # exclusive cumprod of (1 - alpha) within the chunk
     one_minus = 1.0 - alpha
     cp = jnp.cumprod(one_minus, axis=-1)
@@ -62,8 +63,14 @@ def rasterize_pixels(px: jnp.ndarray, py: jnp.ndarray,
                      means2d: jnp.ndarray, conic: jnp.ndarray,
                      depth: jnp.ndarray, color: jnp.ndarray,
                      opacity: jnp.ndarray, visible: jnp.ndarray,
-                     chunk: int = 512):
+                     chunk: int = 512, tile_bounds=None, tile_size: int = 16):
     """Composite all Gaussians (depth-sorted internally) onto pixels [P].
+
+    `tile_bounds` = (tx0, tx1, ty0, ty1) inclusive per-Gaussian tile AABBs:
+    when given, a Gaussian only composites onto pixels whose tile lies inside
+    its AABB — the reference's binning cutoff (renderer.py:277-298), which is
+    part of the rendered function, not an optimization (tails beyond ~3 sigma
+    are dropped even though their weight can exceed the 1e-5 skip threshold).
 
     Returns (rgb [P,3], alpha [P], depth_accum [P]) — pre-background,
     pre-normalization.
@@ -79,52 +86,75 @@ def rasterize_pixels(px: jnp.ndarray, py: jnp.ndarray,
     col = color[order]
     dep = depth[order]
     val = visible[order]
+    if tile_bounds is not None:
+        tx0, tx1, ty0, ty1 = (b[order] for b in tile_bounds)
+        ptx = (px // tile_size).astype(jnp.int32)
+        pty = (py // tile_size).astype(jnp.int32)
 
     pad = (-C) % chunk
+    arrays = dict(x=x, y=y, qa=qa, qb=qb, qc=qc, op=op, col=col, dep=dep,
+                  val=val)
+    if tile_bounds is not None:
+        arrays.update(tx0=tx0, tx1=tx1, ty0=ty0, ty1=ty1)
     if pad:
-        x = jnp.pad(x, (0, pad))
-        y = jnp.pad(y, (0, pad))
-        qa = jnp.pad(qa, (0, pad))
-        qb = jnp.pad(qb, (0, pad))
-        qc = jnp.pad(qc, (0, pad))
-        op = jnp.pad(op, (0, pad))
-        col = jnp.pad(col, ((0, pad), (0, 0)))
-        dep = jnp.pad(dep, (0, pad))
-        val = jnp.pad(val, (0, pad))
+        arrays = {k: (jnp.pad(v, ((0, pad), (0, 0))) if v.ndim == 2
+                      else jnp.pad(v, (0, pad)))
+                  for k, v in arrays.items()}
     n_chunks = (C + pad) // chunk
 
-    def body(carry, chunk_data):
+    def body(carry, ck):
         T, rgb, A, D = carry
-        cx, cy_, cqa, cqb, cqc, cop, ccol, cdep, cval = chunk_data
-        contrib, T = composite_chunk(px, py, cx, cy_, cqa, cqb, cqc, cop, cval, T)
-        rgb = rgb + contrib @ ccol
+        cval = ck["val"]
+        if tile_bounds is not None:
+            inside = ((ptx[:, None] >= ck["tx0"][None, :])
+                      & (ptx[:, None] <= ck["tx1"][None, :])
+                      & (pty[:, None] >= ck["ty0"][None, :])
+                      & (pty[:, None] <= ck["ty1"][None, :]))
+            cval = cval[None, :] & inside  # [P, G]
+        contrib, T = composite_chunk(px, py, ck["x"], ck["y"], ck["qa"],
+                                     ck["qb"], ck["qc"], ck["op"], cval, T)
+        rgb = rgb + contrib @ ck["col"]
         A = A + contrib.sum(-1)
-        D = D + contrib @ cdep
+        D = D + contrib @ ck["dep"]
         return (T, rgb, A, D), None
 
     P = px.shape[0]
     init = (jnp.ones((P,)), jnp.zeros((P, 3)), jnp.zeros((P,)), jnp.zeros((P,)))
-    chunked = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
-    (T, rgb, A, D), _ = jax.lax.scan(
-        body, init, (chunked(x), chunked(y), chunked(qa), chunked(qb),
-                     chunked(qc), chunked(op), chunked(col), chunked(dep),
-                     chunked(val)))
+    chunked = {k: v.reshape((n_chunks, chunk) + v.shape[1:])
+               for k, v in arrays.items()}
+    (T, rgb, A, D), _ = jax.lax.scan(body, init, chunked)
     return rgb, A, D
 
 
 def rasterize_image(means2d, conic, depth, color, opacity, visible,
                     height: int, width: int, bg: jnp.ndarray,
-                    row0: int = 0, col0: int = 0, chunk: int = 512):
+                    radius=None, row0: int = 0, col0: int = 0,
+                    chunk: int = 512, tile_size: int = 16,
+                    full_height=None, full_width=None):
     """Full-image golden raster. Returns dict(image [3,H,W], alpha [1,H,W],
-    depth [1,H,W]).  row0/col0 offset pixel coordinates for tile-sharded
-    sub-images."""
+    depth [1,H,W]).
+
+    When `radius` is given, the reference's tile-AABB binning cutoff
+    (renderer.py:277-298) is applied.  row0/col0 offset pixel coordinates for
+    tile-sharded sub-images; full_height/full_width are the uncropped image
+    dims the reference clamps AABBs against (default: this sub-image)."""
+    tile_bounds = None
+    if radius is not None:
+        from .binning import _tile_bounds
+        fh = full_height if full_height is not None else row0 + height
+        fw = full_width if full_width is not None else col0 + width
+        tx0, tx1, ty0, ty1, degen = _tile_bounds(means2d, radius, fh, fw,
+                                                 tile_size)
+        visible = visible & ~degen
+        tile_bounds = (tx0, tx1, ty0, ty1)
     ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32) + row0,
                           jnp.arange(width, dtype=jnp.float32) + col0,
                           indexing="ij")
     px = xs.reshape(-1)
     py = ys.reshape(-1)
     rgb, A, D = rasterize_pixels(px, py, means2d, conic, depth, color,
-                                 opacity, visible, chunk=chunk)
+                                 opacity, visible, chunk=chunk,
+                                 tile_bounds=tile_bounds, tile_size=tile_size)
     image = rgb + (1.0 - A)[:, None] * bg[None, :]
     image = jnp.clip(image, 0.0, 1.0).reshape(height, width, 3).transpose(2, 0, 1)
     alpha = jnp.clip(A, 0.0, 1.0).reshape(1, height, width)

@@ -76,7 +76,9 @@ def render(gaussians: Gaussians, camera: Camera,
     else:
         out = raster_ref.rasterize_image(
             proj.means2d, proj.conic, proj.depth, proj.color, proj.opacity,
-            proj.visible, H, W, bg, row0=settings.row0, col0=settings.col0)
+            proj.visible, H, W, bg, radius=proj.radius,
+            row0=settings.row0, col0=settings.col0,
+            tile_size=settings.tile_size)
 
     return {
         "image": out["image"],

@@ -1,0 +1,154 @@
+"""SPMD training: shard_map over a (data, tile) mesh.
+
+All new work relative to the reference (which is single-process single-device,
+SURVEY §2.5).  Strategy mapping:
+
+  * data axis (DP): one camera per device; loss/grads averaged with pmean.
+  * tile axis (the workload's sequence parallelism): the image is split into
+    horizontal bands of whole tile rows.  Each device projects the (replicated)
+    Gaussians, bins and rasterizes only its band — band rendering is expressed
+    by shifting means2d by the band origin, which is mathematically identical
+    to offsetting pixel coordinates, so the very same Pallas kernels run
+    unmodified.  Band images are all_gathered over ICI for the (global) SSIM
+    term; per-Gaussian gradients flow back through the gather transpose and
+    are psum'd across bands.
+
+The whole step is one jitted SPMD program: XLA overlaps the gather/psum
+collectives with raster compute where the schedule allows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import TrainingConfig
+from ..core.camera import Camera
+from ..core.gaussians import Gaussians
+from ..core.loss import gaussian_loss
+from ..ops import raster_ref
+from ..ops.projection import project_gaussians
+from ..ops.renderer import RenderSettings
+from ..train import density
+from ..train.optimizer import make_optimizer
+from ..train.trainer import TrainState
+
+
+def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
+                 band_h: int, row0) -> dict:
+    """Render rows [row0, row0+band_h) of the full image.  `row0` may be a
+    traced value (lax.axis_index): the band offset is folded into means2d."""
+    proj = project_gaussians(
+        g, camera,
+        radius_min=settings.radius_min, radius_max=settings.radius_max,
+        color_mode=settings.color_mode, sh_degree=settings.sh_degree,
+        scale_modifier=settings.scale_modifier)
+    shift = jnp.stack([jnp.float32(0.0), jnp.float32(row0)])
+    proj_local = proj._replace(means2d=proj.means2d - shift[None, :])
+    W = settings.image_width
+    bg = jnp.asarray(settings.bg_color, jnp.float32)
+    if settings.use_pallas:
+        from ..ops.raster_pallas import rasterize_tiles
+        out = rasterize_tiles(proj_local, band_h, W, bg,
+                              tile_size=settings.tile_size,
+                              max_instances=settings.max_instances,
+                              gaussian_chunk=settings.gaussian_chunk)
+    else:
+        out = raster_ref.rasterize_image(
+            proj_local.means2d, proj_local.conic, proj_local.depth,
+            proj_local.color, proj_local.opacity, proj_local.visible,
+            band_h, W, bg, radius=proj_local.radius,
+            tile_size=settings.tile_size)
+    return out
+
+
+def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
+                            mesh: Mesh) -> Callable:
+    """Jitted SPMD train step: (TrainState, cameras[data_axis]) -> (state', metrics).
+
+    State is replicated; the camera batch is sharded over `data`; the image is
+    band-sharded over `tile`.
+    """
+    tx = make_optimizer(config)
+    n_tile = mesh.shape["tile"]
+    H = settings.image_height
+    ts = settings.tile_size
+    assert H % (n_tile * ts) == 0, (
+        f"image height {H} must split into {n_tile} bands of whole "
+        f"{ts}px tile rows")
+    band_h = H // n_tile
+
+    def spmd_step(state: TrainState, cameras: Camera):
+        camera = jax.tree.map(lambda x: x[0], cameras)  # this device's camera
+
+        def loss_fn(params):
+            g = state.gaussians.with_params(params)
+            row0 = jax.lax.axis_index("tile") * band_h
+            out = _render_band(g, camera, settings, band_h, row0)
+            # full image per device for the global SSIM window
+            full = jax.lax.all_gather(out["image"], "tile", axis=0, tiled=False)
+            full = full.transpose(1, 0, 2, 3).reshape(3, H, settings.image_width)
+            total, parts = gaussian_loss(full, camera.image, config.lambda_dssim)
+            total = jax.lax.pmean(total, "data")
+            return total, parts
+
+        params = state.gaussians.params()
+        grads, parts = jax.grad(loss_fn, has_aux=True)(params)
+        # band grads are partial sums -> psum over tile; camera-mean is built
+        # into the pmean'd loss, but each data-shard differentiated only its
+        # own camera's term, so also pmean over data.
+        grads = jax.lax.psum(grads, "tile")
+        grads = jax.lax.pmean(grads, "data")
+        alive = state.gaussians.alive
+
+        def mask_dead(x):
+            return jnp.where(alive.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
+
+        grads = jax.tree.map(mask_dead, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        g = state.gaussians.with_params(new_params)
+        # densification stats from the reduced grads (full-image grad norms)
+        proj = project_gaussians(g, camera, color_mode=settings.color_mode,
+                                 sh_degree=settings.sh_degree)
+        g = density.accumulate_grad_stats(g, grads["xyz"], proj.radius,
+                                          proj.visible)
+        metrics = {k: jax.lax.pmean(v, ("data", "tile")) for k, v in parts.items()}
+        return TrainState(gaussians=g, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    sharded = shard_map(
+        spmd_step, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
+    """Band-sharded inference renderer: returns full image, assembled from
+    per-device bands via all_gather."""
+    n_tile = mesh.shape["tile"]
+    H, W = settings.image_height, settings.image_width
+    assert H % (n_tile * settings.tile_size) == 0
+    band_h = H // n_tile
+
+    def spmd_render(g: Gaussians, camera: Camera):
+        row0 = jax.lax.axis_index("tile") * band_h
+        out = _render_band(g, camera, settings, band_h, row0)
+        stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
+                 for k, v in out.items()}
+        return {k: v.transpose(1, 0, 2, 3).reshape(v.shape[1], H, W)
+                for k, v in stack.items()}
+
+    sharded = shard_map(
+        spmd_render, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_rep=False)
+    return jax.jit(sharded)

@@ -1,0 +1,225 @@
+"""Training orchestration.
+
+Implements the reference's documented (but stubbed) trainer pipelines
+(`/root/reference/src/train/trainer.py:32-89`): setup = dataset -> gaussians
+from point cloud -> renderer -> optimizer/loss -> scene extent; train = sample
+camera -> render -> loss -> backward -> step -> periodic densify / validate /
+checkpoint; plus save/load checkpoint and scene-extent computation.
+
+TPU-first design: a functional `TrainState` pytree and a single jitted
+`train_step` with donated buffers (no per-step host sync); densification is a
+second jitted program (same shapes, so each compiles exactly once); opacity
+reset every `opacity_reset_interval` iterations (canonical 3DGS cadence —
+the reference declares the op but never wires a cadence, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import TrainingConfig
+from ..core.camera import Camera
+from ..core.gaussians import Gaussians, reset_opacity, scene_extent_of
+from ..core.loss import gaussian_loss
+from ..ops.renderer import RenderSettings, render
+from . import density
+from .optimizer import make_optimizer, reset_adam_slots
+
+
+@struct.dataclass
+class TrainState:
+    gaussians: Gaussians
+    opt_state: tuple
+    step: jnp.ndarray  # int32 scalar
+
+
+def create_train_state(gaussians: Gaussians, config: TrainingConfig) -> TrainState:
+    tx = make_optimizer(config)
+    opt_state = tx.init(gaussians.params())
+    return TrainState(gaussians=gaussians, opt_state=opt_state,
+                      step=jnp.int32(0))
+
+
+def make_train_step(config: TrainingConfig,
+                    settings: RenderSettings) -> Callable:
+    """Build the jitted train step: render -> loss -> grad -> adam -> stats."""
+    tx = make_optimizer(config)
+
+    def loss_fn(params, g: Gaussians, camera: Camera):
+        g = g.with_params(params)
+        out = render(g, camera, settings)
+        total, parts = gaussian_loss(out["image"], camera.image,
+                                     config.lambda_dssim)
+        return total, (parts, out["visibility_filter"], out["radii"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, camera: Camera):
+        params = state.gaussians.params()
+        grads, (parts, visible, radii) = jax.grad(
+            loss_fn, has_aux=True)(params, state.gaussians, camera)
+        # Dead slots must not drift: zero their grads (their Adam moments are
+        # zeroed at allocation, so updates stay exactly 0).
+        alive = state.gaussians.alive
+
+        def mask_dead(x):
+            return jnp.where(alive.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
+
+        grads = jax.tree.map(mask_dead, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        g = state.gaussians.with_params(params)
+        g = density.accumulate_grad_stats(g, grads["xyz"], radii, visible)
+        new_state = TrainState(gaussians=g, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = dict(parts)
+        metrics["n_visible"] = visible.sum()
+        return new_state, metrics
+
+    return train_step
+
+
+def make_densify_step(config: TrainingConfig) -> Callable:
+    @jax.jit
+    def densify_step(state: TrainState, key: jax.Array, scene_extent):
+        result = density.densify_and_prune(state.gaussians, key, scene_extent,
+                                           config)
+        opt_state = reset_adam_slots(state.opt_state, result.changed_slots)
+        new_state = TrainState(gaussians=result.gaussians, opt_state=opt_state,
+                               step=state.step)
+        stats = {"n_split": result.n_split, "n_clone": result.n_clone,
+                 "n_pruned": result.n_pruned, "n_dropped": result.n_dropped,
+                 "n_alive": result.gaussians.num_alive()}
+        return new_state, stats
+
+    return densify_step
+
+
+@jax.jit
+def _reset_opacity_step(state: TrainState):
+    return state.replace(gaussians=reset_opacity(state.gaussians, 0.01))
+
+
+class GaussianTrainer:
+    """High-level orchestrator with the reference GaussianTrainer's surface
+    (trainer.py:12-89): setup / train / train_step / validate /
+    save_checkpoint / load_checkpoint / get_scene_extent."""
+
+    def __init__(self, config: TrainingConfig,
+                 settings: Optional[RenderSettings] = None):
+        self.config = config
+        self.settings = settings
+        self.dataset = None
+        self.gaussians: Optional[Gaussians] = None
+        self.state: Optional[TrainState] = None
+        self.iteration = 0
+        self.scene_extent = 0.0
+        self.train_losses: List[float] = []
+        self.val_losses: List[float] = []
+        self._train_step = None
+        self._densify_step = None
+        self._key = jax.random.PRNGKey(config.seed)
+
+    # ------------------------------------------------------------------
+    def setup(self, dataset=None, gaussians: Optional[Gaussians] = None):
+        """Reference trainer.py:32-43 pipeline."""
+        from ..data.dataset import load_dataset
+        if dataset is None and gaussians is None:
+            dataset = load_dataset(self.config)
+        self.dataset = dataset
+        if gaussians is None:
+            from ..core.gaussians import create_from_pcd
+            points, colors = dataset.get_point_cloud()
+            cap = max(self.config.capacity, 1 << int(np.ceil(np.log2(max(len(points), 2)))))
+            gaussians = create_from_pcd(points, colors, capacity=cap)
+        self.gaussians = gaussians
+        if self.settings is None:
+            cam0 = self.train_cameras()[0]
+            self.settings = RenderSettings(
+                image_height=cam0.height, image_width=cam0.width,
+                bg_color=jnp.asarray(self.config.background_color, jnp.float32),
+                tile_size=self.config.tile_size,
+                use_pallas=self.config.use_pallas,
+                max_instances=self.config.max_instances,
+                gaussian_chunk=self.config.gaussian_chunk,
+                color_mode=self.config.color_mode,
+                sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)
+        self.state = create_train_state(gaussians, self.config)
+        self._train_step = make_train_step(self.config, self.settings)
+        self._densify_step = make_densify_step(self.config)
+        self.scene_extent = float(scene_extent_of(gaussians))
+
+    def train_cameras(self) -> Sequence[Camera]:
+        return self.dataset.get_train_cameras() if self.dataset else []
+
+    def get_scene_extent(self) -> float:
+        return float(scene_extent_of(self.state.gaussians))
+
+    # ------------------------------------------------------------------
+    def train_step(self, camera: Camera) -> Dict[str, float]:
+        """Single step (reference trainer.py:61-65)."""
+        self.state, metrics = self._train_step(self.state, camera)
+        self.iteration = int(self.state.step)
+        return metrics
+
+    def train(self, iterations: Optional[int] = None,
+              log_fn: Optional[Callable] = None):
+        """Main loop (reference trainer.py:45-59)."""
+        iterations = iterations or self.config.iterations
+        cams = list(self.train_cameras())
+        rng = np.random.default_rng(self.config.seed)
+        metrics = {}
+        for _ in range(iterations):
+            it = self.iteration + 1
+            cam = cams[int(rng.integers(len(cams)))]
+            metrics = self.train_step(cam)
+            if density.should_densify(it, self.config):
+                self._key, sub = jax.random.split(self._key)
+                self.state, dstats = self._densify_step(
+                    self.state, sub, jnp.float32(self.scene_extent))
+                metrics.update(dstats)
+            if (self.config.opacity_reset_interval > 0
+                    and it % self.config.opacity_reset_interval == 0
+                    and it <= self.config.densify_until_iter):
+                self.state = _reset_opacity_step(self.state)
+            if it % self.config.log_interval == 0:
+                loss = float(metrics["total_loss"])
+                self.train_losses.append(loss)
+                if log_fn:
+                    log_fn(it, {k: float(v) for k, v in metrics.items()})
+            if it % self.config.eval_interval == 0 and self.dataset is not None:
+                self.val_losses.append(self.validate().get("psnr", 0.0))
+            if it % self.config.save_interval == 0:
+                self.save_checkpoint(it)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def validate(self) -> Dict[str, float]:
+        """PSNR/SSIM over the test split (reference trainer.py:67-71)."""
+        from ..utils.metrics import psnr as psnr_fn
+        from ..core.loss import ssim as ssim_fn
+        cams = self.dataset.get_test_cameras() if self.dataset else []
+        if not cams:
+            return {}
+        psnrs, ssims = [], []
+        for cam in cams:
+            out = render(self.state.gaussians, cam, self.settings)
+            psnrs.append(float(psnr_fn(out["image"], cam.image)))
+            ssims.append(float(ssim_fn(out["image"], cam.image)))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+
+    def save_checkpoint(self, iteration: int) -> None:
+        from .checkpoint import save_checkpoint
+        save_checkpoint(self.config.output_path, iteration, self.state)
+
+    def load_checkpoint(self, iteration: int) -> None:
+        from .checkpoint import load_checkpoint
+        self.state = load_checkpoint(self.config.output_path, iteration,
+                                     self.state)
+        self.iteration = int(self.state.step)

@@ -1,0 +1,151 @@
+"""Pallas raster kernel vs golden renderer: forward images AND pixel
+gradients must be allclose (BASELINE.md correctness gate).  Runs in Pallas
+interpret mode on CPU (SURVEY §4(c)); the same code compiles for TPU."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini3dgs_tpu.core.camera import Camera
+from mini3dgs_tpu.ops import binning
+from mini3dgs_tpu.ops.projection import project_gaussians
+from mini3dgs_tpu.ops.renderer import RenderSettings, render
+from tests.test_render_golden import identity_camera, make_gaussians
+
+
+def random_scene(n=80, seed=0, spread=0.6, zmin=0.5, zmax=4.0):
+    rng = np.random.default_rng(seed)
+    xyz = np.concatenate([rng.uniform(-spread, spread, (n, 2)),
+                          rng.uniform(zmin, zmax, (n, 1))], axis=1)
+    sig = rng.uniform(0.01, 0.12, (n, 3))
+    col = rng.uniform(0, 1, (n, 3))
+    op = rng.uniform(0.2, 0.95, n)
+    return make_gaussians(xyz, sig, col, op)
+
+
+def settings_pair(cam, **kw):
+    golden = RenderSettings(image_height=cam.height, image_width=cam.width,
+                            use_pallas=False, **kw)
+    pallas = RenderSettings(image_height=cam.height, image_width=cam.width,
+                            use_pallas=True, max_instances=4096,
+                            gaussian_chunk=32, **kw)
+    return golden, pallas
+
+
+def test_binning_ranges_consistent():
+    cam = identity_camera(64, 64)
+    gs = random_scene(50)
+    proj = project_gaussians(gs, cam)
+    b = binning.bin_gaussians(proj, 64, 64, 16, 4096, 32)
+    start = np.asarray(b.tile_start)
+    count = np.asarray(b.tile_count)
+    gid = np.asarray(b.gauss_id)
+    inst = np.asarray(b.inst)
+    depth = np.asarray(proj.depth)
+    assert int(b.n_dropped) == 0
+    # starts are chunk-aligned and depths ascend within each tile
+    assert np.all(start % 32 == 0)
+    for t in range(16):
+        c = count[t]
+        if c == 0:
+            continue
+        seg = slice(start[t], start[t] + c)
+        d = depth[gid[seg]]
+        assert np.all(np.diff(d) >= 0), t
+        # packed depth row matches gathered depth
+        np.testing.assert_allclose(inst[binning.ROW_DEPTH, seg], d, rtol=1e-6)
+
+
+@pytest.mark.parametrize("bg", [[0.0, 0.0, 0.0], [0.3, 0.6, 0.9]])
+def test_pallas_forward_matches_golden(bg):
+    cam = identity_camera(48, 48, 70.0)
+    gs = random_scene(70, seed=1)
+    g_set, p_set = settings_pair(cam, bg_color=jnp.asarray(bg, jnp.float32))
+    out_g = render(gs, cam, g_set)
+    out_p = render(gs, cam, p_set)
+    np.testing.assert_allclose(np.asarray(out_p["image"]),
+                               np.asarray(out_g["image"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_p["alpha"]),
+                               np.asarray(out_g["alpha"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_p["depth"]),
+                               np.asarray(out_g["depth"]), atol=1e-3)
+
+
+def test_pallas_forward_analytic_oracle():
+    """The reference's analytic compositing test through the Pallas path
+    (reference tests/test_renderer.py:127-161)."""
+    cam = identity_camera()
+    gs = make_gaussians([[0, 0, 1.0], [0, 0, 2.0]], [[0.01] * 3] * 2,
+                        [[1, 0, 0], [0, 1, 0]], [0.5, 0.5])
+    _, p_set = settings_pair(cam)
+    out = render(gs, cam, p_set)
+    a = float(out["alpha"][0, 32, 32])
+    rgb = np.asarray(out["image"][:, 32, 32])
+    d = float(out["depth"][0, 32, 32])
+    np.testing.assert_allclose(a, 0.75, atol=1e-3)
+    s0 = 1 / (1 + np.exp(-np.array([1.0, 0, 0])))
+    s1 = 1 / (1 + np.exp(-np.array([0, 1.0, 0])))
+    np.testing.assert_allclose(rgb, 0.5 * s0 + 0.25 * s1, atol=1e-3)
+    np.testing.assert_allclose(d, 4 / 3, atol=2e-2)
+
+
+def test_pallas_gradients_match_golden():
+    """Hand-written VJP vs XLA autodiff of the golden renderer: gradients of a
+    scalar loss w.r.t. every Gaussian parameter group must match."""
+    cam = identity_camera(32, 32, 70.0)
+    gs = random_scene(40, seed=2, spread=0.35, zmin=0.6, zmax=3.0)
+    target = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (3, 32, 32)),
+                         jnp.float32)
+    g_set, p_set = settings_pair(cam)
+
+    def loss(params, settings):
+        g = gs.with_params(params)
+        out = render(g, cam, settings)
+        return (jnp.mean((out["image"] - target) ** 2)
+                + 0.1 * jnp.mean(out["alpha"])
+                + 0.01 * jnp.mean(out["depth"]))
+
+    lg, grads_g = jax.value_and_grad(lambda p: loss(p, g_set))(gs.params())
+    lp, grads_p = jax.value_and_grad(lambda p: loss(p, p_set))(gs.params())
+    np.testing.assert_allclose(float(lp), float(lg), rtol=1e-4)
+    for name in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        a = np.asarray(grads_p[name])
+        b = np.asarray(grads_g[name])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=name)
+
+
+def test_pallas_early_stop_consistency():
+    """Opaque front Gaussian saturates pixels; kernel's early exit must not
+    change results or gradients."""
+    cam = identity_camera(32, 32)
+    n = 30
+    rng = np.random.default_rng(5)
+    xyz = [[0, 0, 0.5]] + np.concatenate(
+        [rng.uniform(-0.2, 0.2, (n, 2)), rng.uniform(1.0, 3.0, (n, 1))],
+        axis=1).tolist()
+    sig = [[0.3, 0.3, 0.3]] + [[0.05] * 3] * n
+    col = rng.uniform(0, 1, (n + 1, 3))
+    op = [0.999] + [0.8] * n
+    gs = make_gaussians(xyz, sig, col, op)
+    g_set, p_set = settings_pair(cam)
+    out_g = render(gs, cam, g_set)
+    out_p = render(gs, cam, p_set)
+    np.testing.assert_allclose(np.asarray(out_p["image"]),
+                               np.asarray(out_g["image"]), atol=3e-5)
+
+    def loss(params, settings):
+        g = gs.with_params(params)
+        return jnp.mean(render(g, cam, settings)["image"] ** 2)
+
+    gg = jax.grad(lambda p: loss(p, g_set))(gs.params())
+    gp = jax.grad(lambda p: loss(p, p_set))(gs.params())
+    for name in ("xyz", "opacity"):
+        a, b = np.asarray(gp[name]), np.asarray(gg[name])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=name)

@@ -125,8 +125,23 @@ def brute_force_raster(proj, H, W, bg):
     color = np.asarray(proj.color)
     op = np.asarray(proj.opacity)
     vis = np.asarray(proj.visible)
+    radius = np.asarray(proj.radius)
     idx = np.nonzero(vis)[0]
     idx = idx[np.argsort(depth[idx], kind="stable")]
+    # reference tile binning (renderer.py:277-298): gaussian i composites on
+    # pixel (xx,yy) iff that pixel's tile is inside i's clamped tile AABB.
+    T = 16
+    bounds = {}
+    for i in idx:
+        r = int(radius[i])
+        x0 = max(int(means2d[i, 0]) - r, 0)
+        x1 = min(int(means2d[i, 0]) + 1 + r, W)
+        y0 = max(int(means2d[i, 1]) - r, 0)
+        y1 = min(int(means2d[i, 1]) + 1 + r, H)
+        if x0 >= x1 or y0 >= y1:
+            bounds[i] = None
+        else:
+            bounds[i] = (x0 // T, (x1 - 1) // T, y0 // T, (y1 - 1) // T)
     rgb = np.zeros((H, W, 3))
     A = np.zeros((H, W))
     D = np.zeros((H, W))
@@ -134,6 +149,10 @@ def brute_force_raster(proj, H, W, bg):
         for xx in range(W):
             a_acc = 0.0
             for i in idx:
+                b = bounds[i]
+                if b is None or not (b[0] <= xx // T <= b[1]
+                                     and b[2] <= yy // T <= b[3]):
+                    continue
                 dx = xx - means2d[i, 0]
                 dy = yy - means2d[i, 1]
                 s = dx * dx * conic[i, 0] + 2 * dx * dy * conic[i, 1] + dy * dy * conic[i, 2]

@@ -1,0 +1,93 @@
+"""Multi-device SPMD tests on the 8-virtual-CPU-device mesh (SURVEY §4(d)):
+band-sharded rendering must match single-device rendering exactly, and the
+sharded train step must match the single-device train step."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini3dgs_tpu.config import TrainingConfig
+from mini3dgs_tpu.core.camera import Camera
+from mini3dgs_tpu.ops.renderer import RenderSettings, render
+from mini3dgs_tpu.parallel.mesh import make_mesh
+from mini3dgs_tpu.parallel.sharded import (make_sharded_render,
+                                           make_sharded_train_step)
+from mini3dgs_tpu.train.trainer import create_train_state, make_train_step
+from tests.test_raster_pallas import random_scene
+from tests.test_render_golden import identity_camera
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@requires_8
+def test_band_sharded_render_matches_single():
+    cam = identity_camera(64, 64, 70.0)
+    gs = random_scene(60, seed=4)
+    settings = RenderSettings(image_height=64, image_width=64)
+    mesh = make_mesh(data=1, tile=4)
+    out_single = render(gs, cam, settings)
+    out_sharded = make_sharded_render(settings, mesh)(gs, cam)
+    np.testing.assert_allclose(np.asarray(out_sharded["image"]),
+                               np.asarray(out_single["image"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_sharded["alpha"]),
+                               np.asarray(out_single["alpha"]), atol=1e-5)
+
+
+@requires_8
+def test_sharded_train_step_matches_single_device():
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False, lambda_dssim=0.2)
+    gs = random_scene(40, seed=2, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=target)
+    settings = RenderSettings(image_height=32, image_width=32)
+
+    # single device
+    state1 = create_train_state(gs, cfg)
+    step1 = make_train_step(cfg, settings)
+    state1, m1 = step1(state1, cam)
+
+    # 1 data x 2 tile bands
+    mesh = make_mesh(data=1, tile=2)
+    state2 = create_train_state(gs, cfg)
+    step2 = make_sharded_train_step(cfg, settings, mesh)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)  # batch of 1
+    state2, m2 = step2(state2, cams)
+
+    np.testing.assert_allclose(float(m2["total_loss"]), float(m1["total_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state2.gaussians.xyz),
+                               np.asarray(state1.gaussians.xyz), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2.gaussians.opacity),
+                               np.asarray(state1.gaussians.opacity), atol=1e-6)
+
+
+@requires_8
+def test_data_parallel_averages_gradients():
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False)
+    gs = random_scene(40, seed=3, spread=0.35)
+    settings = RenderSettings(image_height=32, image_width=32)
+    rng = np.random.default_rng(2)
+    cams = []
+    for i in range(2):
+        cam = identity_camera(32, 32, 70.0)
+        img = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+        cams.append(cam.replace(image=img))
+    batch = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+
+    mesh = make_mesh(data=2, tile=2)
+    state = create_train_state(gs, cfg)
+    step = make_sharded_train_step(cfg, settings, mesh)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    # Params remain replicated across devices after the update.
+    xyz = state.gaussians.xyz
+    assert np.all(np.isfinite(np.asarray(xyz)))

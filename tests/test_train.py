@@ -1,0 +1,179 @@
+"""End-to-end training slice tests (BASELINE config #1: random-init Gaussians,
+one small camera, L1+D-SSIM loss, Adam step) + densification semantics
+(reference `tests/test_gaussian_model.py:91-140`: split/clone point-count
+deltas) + LR schedule + checkpoint round-trip."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini3dgs_tpu.config import TrainingConfig
+from mini3dgs_tpu.core.camera import Camera
+from mini3dgs_tpu.core.gaussians import create_from_random
+from mini3dgs_tpu.ops.renderer import RenderSettings, render
+from mini3dgs_tpu.train import density
+from mini3dgs_tpu.train.optimizer import cosine_delay_lr
+from mini3dgs_tpu.train.trainer import (TrainState, create_train_state,
+                                        make_densify_step, make_train_step)
+
+
+def small_config(**kw):
+    defaults = dict(capacity=128, iterations=50, image_height=32,
+                    image_width=32, use_pallas=False,
+                    densify_from_iter=1, densify_until_iter=1000,
+                    densify_interval=10)
+    defaults.update(kw)
+    return TrainingConfig(**defaults)
+
+
+def make_scene(capacity=128, n=64, seed=0):
+    g = create_from_random(jax.random.PRNGKey(seed), n, scene_extent=1.0,
+                           capacity=capacity)
+    cam = Camera.create(0, np.eye(3), np.array([0, 0, -3.0]),
+                        math.radians(60), math.radians(60),
+                        width=32, height=32)
+    return g, cam
+
+
+def test_lr_schedule_matches_reference_formula():
+    lr = float(cosine_delay_lr(0, 1.6e-4, 1.6e-6, 0, 0.01, 30000))
+    np.testing.assert_allclose(lr, 1.6e-4, rtol=1e-6)
+    lr_end = float(cosine_delay_lr(30000, 1.6e-4, 1.6e-6, 0, 0.01, 30000))
+    np.testing.assert_allclose(lr_end, 1.6e-6, rtol=1e-5)
+    t = 10000
+    expected = 1.6e-6 + (1.6e-4 - 1.6e-6) * 0.5 * (1 + math.cos(math.pi * t / 30000))
+    np.testing.assert_allclose(float(cosine_delay_lr(t, 1.6e-4, 1.6e-6, 0, 0.01, 30000)),
+                               expected, rtol=1e-6)
+    # delay ramp
+    lr_delayed = float(cosine_delay_lr(0, 1.6e-4, 1.6e-6, 100, 0.01, 30000))
+    np.testing.assert_allclose(lr_delayed, 1.6e-4 * 0.01, rtol=1e-5)
+
+
+def test_train_step_reduces_loss():
+    cfg = small_config()
+    g, cam = make_scene()
+    # target: a render of a *different* gaussian set
+    g_target, _ = make_scene(seed=7)
+    settings = RenderSettings(image_height=32, image_width=32)
+    target = render(g_target, cam, settings)["image"]
+    cam = cam.replace(image=target)
+
+    state = create_train_state(g, cfg)
+    step = make_train_step(cfg, settings)
+    state, m0 = step(state, cam)
+    first = float(m0["total_loss"])
+    for _ in range(30):
+        state, m = step(state, cam)
+    last = float(m["total_loss"])
+    assert last < first, (first, last)
+    assert int(state.step) == 31
+
+
+def test_densify_split_and_clone_counts():
+    """Split: parent removed, two children added => +k.  Clone: +k.
+    (reference tests/test_gaussian_model.py:128-140)."""
+    cfg = small_config(densify_grad_threshold=1e-4)
+    g, _ = make_scene(capacity=256, n=32)
+    n0 = int(g.num_alive())
+    extent = 1.0
+    # Force candidacy: large accumulated grads on slots 0..3 (split: big sigma)
+    # and 4..7 (clone: small sigma).
+    big = math.log(0.05 * extent)    # mean sigma > 0.03*extent
+    small = math.log(0.005 * extent)  # mean sigma < 0.01*extent
+    scaling = g.scaling
+    scaling = scaling.at[0:4].set(big).at[4:8].set(small)
+    accum = jnp.zeros_like(g.xyz_gradient_accum).at[0:8].set(1.0)
+    denom = jnp.zeros_like(g.denom).at[0:8].set(1.0)
+    g = g.replace(scaling=scaling, xyz_gradient_accum=accum, denom=denom)
+
+    res = density.densify_and_prune(g, jax.random.PRNGKey(0), extent, cfg)
+    assert int(res.n_split) == 4
+    assert int(res.n_clone) == 4
+    assert int(res.n_dropped) == 0
+    # split: -4 parents +8 children; clone: +4 => net +8
+    n_pruned = int(res.n_pruned)
+    assert int(res.gaussians.num_alive()) == n0 + 8 - n_pruned
+
+    # children of splits carry 0.75*sigma
+    # (hard to trace exact slots; check some slot has sigma == 0.75*exp(big))
+    sig = np.asarray(res.gaussians.get_scaling)
+    alive = np.asarray(res.gaussians.alive)
+    assert np.any(np.isclose(sig[alive], 0.75 * math.exp(big), rtol=1e-4))
+
+
+def test_densify_prune_low_opacity():
+    cfg = small_config()
+    g, _ = make_scene(capacity=128, n=32)
+    # opacity logit -10 => sigmoid ~ 0 < 0.01 threshold for slots 0..9
+    g = g.replace(opacity=g.opacity.at[0:10].set(-10.0))
+    res = density.densify_and_prune(g, jax.random.PRNGKey(0), 1.0, cfg)
+    assert int(res.n_pruned) >= 10
+    assert int(res.gaussians.num_alive()) == 32 - int(res.n_pruned)
+
+
+def test_densify_capacity_overflow_drops():
+    cfg = small_config(densify_grad_threshold=1e-6)
+    g, _ = make_scene(capacity=64, n=60)
+    extent = 1.0
+    g = g.replace(
+        scaling=jnp.full_like(g.scaling, math.log(0.05 * extent)),
+        xyz_gradient_accum=jnp.where(g.alive, 1.0, 0.0),
+        denom=jnp.where(g.alive, 1.0, 0.0))
+    res = density.densify_and_prune(g, jax.random.PRNGKey(0), extent, cfg)
+    assert int(res.n_dropped) > 0
+    assert int(res.gaussians.num_alive()) <= 64
+
+
+def test_adam_state_reset_on_densify():
+    cfg = small_config(densify_grad_threshold=1e-4)
+    g, cam = make_scene(capacity=256, n=32)
+    target = jnp.zeros((3, 32, 32))
+    cam = cam.replace(image=target)
+    settings = RenderSettings(image_height=32, image_width=32)
+    state = create_train_state(g, cfg)
+    step = make_train_step(cfg, settings)
+    for _ in range(3):
+        state, _ = step(state, cam)
+    dstep = make_densify_step(cfg)
+    state2, stats = dstep(state, jax.random.PRNGKey(1), jnp.float32(1.0))
+    mu = state2.opt_state[0].mu
+    changed = None
+    # find some changed slot: compare alive masks
+    a0 = np.asarray(state.gaussians.alive)
+    a1 = np.asarray(state2.gaussians.alive)
+    newly = np.nonzero(a1 & ~a0)[0]
+    if len(newly):
+        assert np.all(np.asarray(mu["xyz"])[newly] == 0)
+
+
+def test_dead_slots_do_not_drift():
+    cfg = small_config()
+    g, cam = make_scene()
+    cam = cam.replace(image=jnp.zeros((3, 32, 32)))
+    settings = RenderSettings(image_height=32, image_width=32)
+    state = create_train_state(g, cfg)
+    step = make_train_step(cfg, settings)
+    dead = ~np.asarray(state.gaussians.alive)
+    xyz_before = np.asarray(state.gaussians.xyz)[dead]
+    for _ in range(5):
+        state, _ = step(state, cam)
+    xyz_after = np.asarray(state.gaussians.xyz)[dead]
+    np.testing.assert_array_equal(xyz_before, xyz_after)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mini3dgs_tpu.train.checkpoint import (latest_checkpoint_iteration,
+                                               load_checkpoint, save_checkpoint)
+    cfg = small_config()
+    g, cam = make_scene()
+    state = create_train_state(g, cfg)
+    save_checkpoint(str(tmp_path), 5, state)
+    assert latest_checkpoint_iteration(str(tmp_path)) == 5
+    # perturb, then restore
+    state2 = state.replace(step=jnp.int32(99))
+    restored = load_checkpoint(str(tmp_path), 5, state2)
+    assert int(restored.step) == 0
+    np.testing.assert_array_equal(np.asarray(restored.gaussians.xyz),
+                                  np.asarray(state.gaussians.xyz))

@@ -1,0 +1,92 @@
+"""Benchmark: fwd+bwd rasterization throughput on the flagship scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: Mpixels/s/chip of a full differentiable render step (projection ->
+binning/sort -> Pallas tile raster -> loss -> hand-written VJP backward ->
+gradient scatter), the BASELINE.json headline.  The reference publishes no
+numbers (BASELINE.md) and its Python-loop rasterizer is ~4 orders of magnitude
+slower, so vs_baseline is reported against the measured golden-XLA path on the
+same chip when available, else 1.0.
+"""
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
+          use_pallas=True, max_instances=2 ** 20):
+    from __graft_entry__ import _scene
+    from mini3dgs_tpu.ops.renderer import RenderSettings, render
+
+    g, cam = _scene(capacity=capacity, n=n, width=width, height=height,
+                    seed=seed)
+    settings = RenderSettings(image_height=height, image_width=width,
+                              use_pallas=use_pallas,
+                              max_instances=max_instances,
+                              gaussian_chunk=256)
+    target = jnp.zeros((3, height, width), jnp.float32)
+
+    def loss_fn(params):
+        out = render(g.with_params(params), cam, settings)
+        return jnp.abs(out["image"] - target).mean()
+
+    step = jax.jit(jax.grad(loss_fn))
+    return step, g.params()
+
+
+def time_step(step, params, iters=20, warmup=3):
+    for _ in range(warmup):
+        out = step(params)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(params)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    width = height = 800
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        # CPU smoke fallback: tiny config through the same code path.
+        width = height = 64
+    step, params = build(width=width, height=height,
+                         n=100_000 if on_tpu else 2_000,
+                         capacity=2 ** 17 if on_tpu else 4096,
+                         use_pallas=on_tpu,
+                         max_instances=2 ** 20 if on_tpu else 2 ** 14)
+    dt = time_step(step, params, iters=20 if on_tpu else 3, warmup=3)
+    mpix_s = width * height / dt / 1e6
+
+    vs_baseline = 1.0
+    if on_tpu:
+        try:
+            g_step, g_params = build(width=width, height=height, n=100_000,
+                                     capacity=2 ** 17, use_pallas=False,
+                                     max_instances=2 ** 20)
+            g_dt = time_step(g_step, g_params, iters=3, warmup=1)
+            vs_baseline = g_dt / dt
+        except Exception:
+            pass
+
+    print(json.dumps({
+        "metric": "fwd+bwd render Mpixels/s/chip (800x800, 100K gaussians)",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

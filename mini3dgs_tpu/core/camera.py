@@ -31,18 +31,20 @@ def build_world_view_matrix(R, T, from_c2w: bool = True) -> jnp.ndarray:
         R_wc = R_cw^T,   t_wc = -R_cw^T @ C_w.
     With W2C input the pair is used directly.
     """
-    R = jnp.asarray(R, dtype=jnp.float32).reshape(3, 3)
-    T = jnp.asarray(T, dtype=jnp.float32).reshape(3)
+    # Host-side numpy: this runs at camera construction time, and on the
+    # remote-TPU tunnel every eager device op is a round trip.
+    R = np.asarray(R, dtype=np.float32).reshape(3, 3)
+    T = np.asarray(T, dtype=np.float32).reshape(3)
     if from_c2w:
         R_wc = R.T
         t_wc = -(R_wc @ T)
     else:
         R_wc = R
         t_wc = T
-    view = jnp.eye(4, dtype=jnp.float32)
-    view = view.at[:3, :3].set(R_wc)
-    view = view.at[:3, 3].set(t_wc)
-    return view
+    view = np.eye(4, dtype=np.float32)
+    view[:3, :3] = R_wc
+    view[:3, 3] = t_wc
+    return jnp.asarray(view)
 
 
 def build_projection_matrix_v1(znear: float, zfar: float,

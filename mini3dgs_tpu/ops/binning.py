@@ -75,11 +75,24 @@ def _tile_bounds(means2d, radius, H, W, tile_size):
 
 
 @partial(jax.jit, static_argnames=("H", "W", "tile_size", "max_instances",
-                                   "chunk", "radius_max"))
+                                   "chunk", "radius_max", "full_height",
+                                   "full_width"))
 def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
                   max_instances: int, chunk: int,
-                  radius_max: float = 50.0) -> Binning:
+                  radius_max: float = 50.0,
+                  row0=0, col0=0,
+                  full_height: int = None, full_width: int = None) -> Binning:
+    """Bin into the [H, W] viewport whose top-left pixel sits at (row0, col0)
+    of a full_height x full_width image.  AABBs are computed and clamped in
+    GLOBAL coordinates (exactly like the unsharded reference, including the
+    toward-zero int truncation) and only then converted to band-local tiles,
+    so band-sharded rendering is bit-identical to single-device.  row0/col0
+    may be traced (lax.axis_index) values but must be tile_size multiples."""
     C = proj.means2d.shape[0]
+    fh = full_height if full_height is not None else H
+    fw = full_width if full_width is not None else W
+    row0 = jnp.asarray(row0, jnp.int32)
+    col0 = jnp.asarray(col0, jnp.int32)
     tiles_x = -(-W // tile_size)
     tiles_y = -(-H // tile_size)
     num_tiles = tiles_x * tiles_y
@@ -88,9 +101,19 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     per_axis = min(per_axis, max(tiles_x, tiles_y))
     MAX_DUP = per_axis * per_axis
 
-    tx0, tx1, ty0, ty1, degen = _tile_bounds(proj.means2d, proj.radius, H, W,
-                                             tile_size)
-    ok = proj.visible & ~degen
+    gx0, gx1, gy0, gy1, degen = _tile_bounds(proj.means2d, proj.radius,
+                                             fh, fw, tile_size)
+    # global tile bounds -> band-local
+    tx0 = gx0 - col0 // tile_size
+    tx1 = gx1 - col0 // tile_size
+    ty0 = gy0 - row0 // tile_size
+    ty1 = gy1 - row0 // tile_size
+    in_band = (tx1 >= 0) & (tx0 <= tiles_x - 1) & (ty1 >= 0) & (ty0 <= tiles_y - 1)
+    tx0 = jnp.clip(tx0, 0, tiles_x - 1)
+    tx1 = jnp.clip(tx1, 0, tiles_x - 1)
+    ty0 = jnp.clip(ty0, 0, tiles_y - 1)
+    ty1 = jnp.clip(ty1, 0, tiles_y - 1)
+    ok = proj.visible & ~degen & in_band
 
     # Candidate grid [C, MAX_DUP] -> tile ids.
     d = jnp.arange(MAX_DUP, dtype=jnp.int32)
@@ -133,7 +156,10 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     padded_count = ((count + G - 1) // G) * G
     padded_start = (jnp.cumsum(padded_count) - padded_count).astype(jnp.int32)
     padded_total = padded_start[-1] + padded_count[-1] if num_tiles > 0 else jnp.int32(0)
-    K_pad = K + num_tiles * (G - 1) + G  # static capacity of padded layout
+    # static capacity of padded layout, rounded to a whole number of chunks
+    # (the raster kernels index instances as [16, K_pad//G, G])
+    K_pad = K + num_tiles * (G - 1) + G
+    K_pad = ((K_pad + G - 1) // G) * G
 
     pos_in_tile = jnp.arange(K, dtype=jnp.int32) - start[jnp.clip(s_tile, 0, num_tiles - 1)]
     new_pos = jnp.where(s_tile < num_tiles,
@@ -147,8 +173,8 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     gid = pad_gid
     live = pad_live.astype(jnp.float32)
     rows = jnp.zeros((N_ROWS, K_pad), jnp.float32)
-    rows = rows.at[ROW_X].set(proj.means2d[gid, 0] * live)
-    rows = rows.at[ROW_Y].set(proj.means2d[gid, 1] * live)
+    rows = rows.at[ROW_X].set((proj.means2d[gid, 0] - col0) * live)
+    rows = rows.at[ROW_Y].set((proj.means2d[gid, 1] - row0) * live)
     rows = rows.at[ROW_QA].set(proj.conic[gid, 0] * live)
     rows = rows.at[ROW_QB].set(proj.conic[gid, 1] * live)
     rows = rows.at[ROW_QC].set(proj.conic[gid, 2] * live)

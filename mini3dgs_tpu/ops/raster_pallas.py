@@ -115,10 +115,15 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
     px, py = _pixel_coords(t, tile_size, tiles_x, row0, col0, P)
     n_chunks = (count + G - 1) // G
 
+    chunk0 = start // G  # start is chunk-aligned by construction
+
     def body(carry):
         ci, T, acc = carry
+        # inst_hbm is [K_pad//G, 16, G]: dynamic index on the MAJOR dim only —
+        # Mosaic requires dynamically-sliced dims to be untiled (the last two
+        # dims carry the (8,128) tiling).
         cp = pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start + ci * G, G)], chunk_ref, sem)
+            inst_hbm.at[chunk0 + ci], chunk_ref, sem)
         cp.start()
         cp.wait()
         ch = chunk_ref[:]
@@ -165,10 +170,12 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     # total_p = <dOut, O_total> per pixel, as a [P,1] column.
     total = jnp.swapaxes(jnp.sum(gout * oraw, axis=0, keepdims=True), 0, 1)
 
+    chunk0 = start // G  # start is chunk-aligned by construction
+
     def body(carry):
         ci, T, prefix = carry
         cp = pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start + ci * G, G)], chunk_ref, sem)
+            inst_hbm.at[chunk0 + ci], chunk_ref, sem)
         cp.start()
         cp.wait()
         ch = chunk_ref[:]
@@ -225,7 +232,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         ], axis=0)
         dchunk_ref[:] = d_chunk
         wr = pltpu.make_async_copy(
-            dchunk_ref, dinst_hbm.at[:, pl.ds(start + ci * G, G)], wsem)
+            dchunk_ref, dinst_hbm.at[chunk0 + ci], wsem)
         wr.start()
         wr.wait()
 
@@ -247,7 +254,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     def zbody(ci):
         dchunk_ref[:] = jnp.zeros((N_ROWS, G), jnp.float32)
         wr = pltpu.make_async_copy(
-            dchunk_ref, dinst_hbm.at[:, pl.ds(start + ci * G, G)], wsem)
+            dchunk_ref, dinst_hbm.at[chunk0 + ci], wsem)
         wr.start()
         wr.wait()
         return ci + 1
@@ -302,7 +309,8 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
     def bwd_call(inst, tile_start, tile_count, gout, oraw):
         return pl.pallas_call(
             kern_bwd,
-            out_shape=jax.ShapeDtypeStruct((N_ROWS, K_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((K_pad // G, N_ROWS, G),
+                                           jnp.float32),
             grid_spec=bwd_grid,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -328,11 +336,15 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
 
 def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                     tile_size: int = 16, max_instances: int = 2 ** 18,
-                    gaussian_chunk: int = 256, row0: int = 0, col0: int = 0,
+                    gaussian_chunk: int = 256, row0=0, col0=0,
+                    full_height: int = None, full_width: int = None,
                     radius_max: float = 50.0, interpret=None) -> dict:
     """Full Pallas raster path: binning -> fused tile kernel -> epilogue.
     Differentiable w.r.t. `proj` fields (instance packing is an XLA gather,
-    whose transpose scatter-adds the kernel's per-instance gradients)."""
+    whose transpose scatter-adds the kernel's per-instance gradients).
+
+    row0/col0 (traced OK, tile_size multiples) select a band of a
+    full_height x full_width image — the tile-sharded path."""
     if interpret is None:
         interpret = _interpret()
     tiles_x = -(-W // tile_size)
@@ -340,10 +352,13 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     num_tiles = tiles_x * tiles_y
     G = gaussian_chunk
     b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
-                        radius_max=radius_max)
+                        radius_max=radius_max, row0=row0, col0=col0,
+                        full_height=full_height, full_width=full_width)
     K_pad = b.inst.shape[1]
+    # binning already rebased instance coordinates to the band, so the kernel
+    # always rasterizes at local origin.
     op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K_pad,
-                         row0, col0, interpret)
+                         0, 0, interpret)
     # Gradient hygiene for the unwritten tail of d_inst (beyond all padded
     # slices): mask the instance matrix columns so the VJP's gather-transpose
     # never reads kernel garbage.  col < padded_total is exactly the written
@@ -352,6 +367,9 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     # jnp.where's VJP masks the cotangent with the same predicate, which is
     # exactly the hygiene we need (d_inst tail garbage never reaches params).
     inst = jnp.where(col_written[None, :], b.inst, 0.0)
+    # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
+    # chunk dim must be the major (untiled) one for Mosaic
+    inst = inst.reshape(N_ROWS, K_pad // G, G).transpose(1, 0, 2)
     acc = op(inst, b.tile_start, b.tile_count)     # [T, 8, P]
 
     img = acc.reshape(tiles_y, tiles_x, N_ACC, tile_size, tile_size)

@@ -72,6 +72,7 @@ def render(gaussians: Gaussians, camera: Camera,
                               tile_size=settings.tile_size,
                               max_instances=settings.max_instances,
                               gaussian_chunk=settings.gaussian_chunk,
+                              radius_max=settings.radius_max,
                               row0=settings.row0, col0=settings.col0)
     else:
         out = raster_ref.rasterize_image(

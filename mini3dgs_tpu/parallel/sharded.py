@@ -25,7 +25,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import TrainingConfig
 from ..core.camera import Camera
@@ -42,28 +42,31 @@ from ..train.trainer import TrainState
 def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
                  band_h: int, row0) -> dict:
     """Render rows [row0, row0+band_h) of the full image.  `row0` may be a
-    traced value (lax.axis_index): the band offset is folded into means2d."""
+    traced value (lax.axis_index * band_h).  All AABB math stays in global
+    coordinates inside binning, so bands compose bit-identically to a
+    single-device render."""
     proj = project_gaussians(
         g, camera,
         radius_min=settings.radius_min, radius_max=settings.radius_max,
         color_mode=settings.color_mode, sh_degree=settings.sh_degree,
         scale_modifier=settings.scale_modifier)
-    shift = jnp.stack([jnp.float32(0.0), jnp.float32(row0)])
-    proj_local = proj._replace(means2d=proj.means2d - shift[None, :])
-    W = settings.image_width
+    H, W = settings.image_height, settings.image_width
     bg = jnp.asarray(settings.bg_color, jnp.float32)
     if settings.use_pallas:
         from ..ops.raster_pallas import rasterize_tiles
-        out = rasterize_tiles(proj_local, band_h, W, bg,
+        out = rasterize_tiles(proj, band_h, W, bg,
                               tile_size=settings.tile_size,
                               max_instances=settings.max_instances,
-                              gaussian_chunk=settings.gaussian_chunk)
+                              gaussian_chunk=settings.gaussian_chunk,
+                              radius_max=settings.radius_max,
+                              row0=row0, col0=0,
+                              full_height=H, full_width=W)
     else:
         out = raster_ref.rasterize_image(
-            proj_local.means2d, proj_local.conic, proj_local.depth,
-            proj_local.color, proj_local.opacity, proj_local.visible,
-            band_h, W, bg, radius=proj_local.radius,
-            tile_size=settings.tile_size)
+            proj.means2d, proj.conic, proj.depth,
+            proj.color, proj.opacity, proj.visible,
+            band_h, W, bg, radius=proj.radius, row0=row0,
+            tile_size=settings.tile_size, full_height=H, full_width=W)
     return out
 
 
@@ -126,7 +129,7 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
         spmd_step, mesh=mesh,
         in_specs=(P(), P("data")),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
 
 
@@ -150,5 +153,5 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
         spmd_render, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)

@@ -49,24 +49,28 @@ def test_sharded_train_step_matches_single_device():
     cam = cam.replace(image=target)
     settings = RenderSettings(image_height=32, image_width=32)
 
-    # single device
+    # Build both states before stepping: train steps donate their input
+    # buffers, which `gs` shares.
     state1 = create_train_state(gs, cfg)
+    state2 = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
     step1 = make_train_step(cfg, settings)
     state1, m1 = step1(state1, cam)
 
     # 1 data x 2 tile bands
     mesh = make_mesh(data=1, tile=2)
-    state2 = create_train_state(gs, cfg)
     step2 = make_sharded_train_step(cfg, settings, mesh)
     cams = jax.tree.map(lambda x: jnp.stack([x]), cam)  # batch of 1
     state2, m2 = step2(state2, cams)
 
     np.testing.assert_allclose(float(m2["total_loss"]), float(m1["total_loss"]),
                                rtol=1e-5)
+    # psum of band-partial grads reorders float sums, and Adam's first step is
+    # ~sign(g), which amplifies that noise to O(lr); tolerance scales with the
+    # per-group LR (xyz 1.6e-4, opacity 5e-2).
     np.testing.assert_allclose(np.asarray(state2.gaussians.xyz),
-                               np.asarray(state1.gaussians.xyz), atol=1e-6)
+                               np.asarray(state1.gaussians.xyz), atol=2e-5)
     np.testing.assert_allclose(np.asarray(state2.gaussians.opacity),
-                               np.asarray(state1.gaussians.opacity), atol=1e-6)
+                               np.asarray(state1.gaussians.opacity), atol=3e-3)
 
 
 @requires_8

@@ -88,15 +88,24 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     imgs: Dict[int, ColmapImage] = {}
     with open(path, "r", encoding="utf-8", errors="ignore") as f:
-        lines = [l.strip() for l in f
-                 if l.strip() and not l.strip().startswith("#")]
-    # images.txt alternates: pose line, then 2D-point line (skipped)
-    for pose_line in lines[0::2]:
-        parts = pose_line.split()
-        iid = int(parts[0])
-        qvec = np.array([float(v) for v in parts[1:5]])
-        tvec = np.array([float(v) for v in parts[5:8]])
-        imgs[iid] = ColmapImage(iid, qvec, tvec, int(parts[8]), parts[9])
+        lines = [l.rstrip("\n") for l in f]
+    # images.txt alternates: pose line, then a 2D-point line (possibly empty).
+    expecting_pose = True
+    for line in lines:
+        s = line.strip()
+        if s.startswith("#"):
+            continue
+        if expecting_pose:
+            if not s:
+                continue  # blank lines before any pose are ignorable
+            parts = s.split()
+            iid = int(parts[0])
+            qvec = np.array([float(v) for v in parts[1:5]])
+            tvec = np.array([float(v) for v in parts[5:8]])
+            imgs[iid] = ColmapImage(iid, qvec, tvec, int(parts[8]), parts[9])
+            expecting_pose = False
+        else:
+            expecting_pose = True  # consumed the (possibly empty) points line
     return imgs
 
 

@@ -1,0 +1,166 @@
+"""Data-layer tests: COLMAP text/binary parser round-trips, point-cloud IO
+formats (reference io_utils.py:33-85 semantics), Blender transforms.json,
+dataset dispatch, image IO."""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mini3dgs_tpu.data import colmap
+from mini3dgs_tpu.data.dataset import (BlenderDataset, COLMAPDataset,
+                                       RandomDataset, load_dataset)
+from mini3dgs_tpu.utils.io import (load_image, load_point_cloud, save_image,
+                                   save_point_cloud)
+
+
+def _make_colmap_model(tmp_path: Path, binary: bool):
+    sp = tmp_path / "sparse" / "0"
+    sp.mkdir(parents=True)
+    cams = {1: colmap.ColmapCamera(1, "PINHOLE", 64, 48,
+                                   np.array([60.0, 60.0, 32.0, 24.0]))}
+    rng = np.random.default_rng(0)
+    imgs = {}
+    for i in range(1, 4):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        imgs[i] = colmap.ColmapImage(i, q, rng.standard_normal(3), 1,
+                                     f"im_{i}.png")
+    pts = rng.standard_normal((10, 3)).astype(np.float32)
+    cols = rng.random((10, 3)).astype(np.float32)
+    if binary:
+        colmap.write_cameras_binary(cams, str(sp / "cameras.bin"))
+        colmap.write_images_binary(imgs, str(sp / "images.bin"))
+        colmap.write_points3d_binary(pts, cols, str(sp / "points3D.bin"))
+    else:
+        with open(sp / "cameras.txt", "w") as f:
+            f.write("# comment\n")
+            for c in cams.values():
+                f.write(f"{c.id} {c.model} {c.width} {c.height} "
+                        + " ".join(str(v) for v in c.params) + "\n")
+        with open(sp / "images.txt", "w") as f:
+            f.write("# comment\n")
+            for im in imgs.values():
+                f.write(f"{im.id} " + " ".join(f"{v}" for v in im.qvec)
+                        + " " + " ".join(f"{v}" for v in im.tvec)
+                        + f" {im.camera_id} {im.name}\n")
+                f.write("\n")  # empty 2D-points line
+        with open(sp / "points3D.txt", "w") as f:
+            f.write("# comment\n")
+            for j in range(len(pts)):
+                rgb = (cols[j] * 255).astype(int)
+                f.write(f"{j} {pts[j, 0]} {pts[j, 1]} {pts[j, 2]} "
+                        f"{rgb[0]} {rgb[1]} {rgb[2]} 0.5 1 2\n")
+    return cams, imgs, pts, cols
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_colmap_model_roundtrip(tmp_path, binary):
+    cams, imgs, pts, cols = _make_colmap_model(tmp_path, binary)
+    sp = tmp_path / "sparse" / "0"
+    if binary:
+        rc = colmap.read_cameras_binary(str(sp / "cameras.bin"))
+        ri = colmap.read_images_binary(str(sp / "images.bin"))
+        rp, rcol = colmap.read_points3d_binary(str(sp / "points3D.bin"))
+    else:
+        rc = colmap.read_cameras_text(str(sp / "cameras.txt"))
+        ri = colmap.read_images_text(str(sp / "images.txt"))
+        rp, rcol = colmap.read_points3d_text(str(sp / "points3D.txt"))
+    assert rc[1].model == "PINHOLE" and rc[1].width == 64
+    np.testing.assert_allclose(rc[1].focal(), (60.0, 60.0))
+    assert len(ri) == 3
+    for i in imgs:
+        np.testing.assert_allclose(ri[i].qvec, imgs[i].qvec, atol=1e-6)
+        np.testing.assert_allclose(ri[i].tvec, imgs[i].tvec, atol=1e-6)
+        assert ri[i].name == imgs[i].name
+    np.testing.assert_allclose(rp, pts, atol=1e-5)
+    np.testing.assert_allclose(rcol, cols, atol=1 / 255 + 1e-6)
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_colmap_dataset(tmp_path, binary):
+    _make_colmap_model(tmp_path, binary)
+    ds = COLMAPDataset(str(tmp_path), llff_hold=2)
+    ds.load_cameras()
+    assert len(ds.cameras) == 3
+    assert len(ds.get_train_cameras()) + len(ds.get_test_cameras()) == 3
+    pts, cols = ds.get_point_cloud()
+    assert pts.shape == (10, 3)
+    info = ds.get_scene_info()
+    assert info["num_cameras"] == 3
+    # W2C -> C2W conversion must put the camera center where COLMAP says
+    cam = ds.cameras[0]
+    assert np.isfinite(np.asarray(cam.camera_center)).all()
+
+
+def test_colmap_pose_convention():
+    """C = -R(q)^T t and our Camera must map C to the origin in view space."""
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    t = rng.standard_normal(3)
+    img = colmap.ColmapImage(0, q, t, 0, "x")
+    R_c2w, center = colmap.image_c2w(img)
+    R_wc = colmap.qvec_to_rotmat(q)
+    np.testing.assert_allclose(R_wc @ center + t, np.zeros(3), atol=1e-6)
+    from mini3dgs_tpu.core.camera import Camera
+    cam = Camera.create(0, R_c2w, center, 1.0, 1.0, width=8, height=8)
+    V = np.asarray(cam.view_matrix)
+    np.testing.assert_allclose(V[:3, :3] @ center + V[:3, 3], np.zeros(3),
+                               atol=1e-5)
+    np.testing.assert_allclose(V[:3, :3], R_wc, atol=1e-5)
+
+
+def test_point_cloud_formats(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((20, 3)).astype(np.float32)
+    cols = rng.random((20, 3)).astype(np.float32)
+    for name in ("a.npz", "b.npy", "c.ply", "d.txt"):
+        p = str(tmp_path / name)
+        save_point_cloud(pts, cols, p)
+        rp, rc = load_point_cloud(p)
+        np.testing.assert_allclose(rp, pts, atol=1e-5)
+        assert rc is not None
+        atol = 1 / 255 + 1e-6 if name.endswith("ply") else 1e-5
+        np.testing.assert_allclose(rc, cols, atol=atol)
+
+
+def test_image_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 16, 24)).astype(np.float32)
+    p = str(tmp_path / "img.png")
+    save_image(img, p)
+    back = load_image(p)
+    assert back.shape == (3, 16, 24)
+    np.testing.assert_allclose(back, img, atol=1 / 255 + 1e-6)
+
+
+def test_blender_dataset(tmp_path):
+    frames = []
+    for i in range(3):
+        c2w = np.eye(4)
+        c2w[2, 3] = -4.0 + i
+        frames.append({"file_path": f"./train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    meta = {"camera_angle_x": math.radians(60), "frames": frames}
+    (tmp_path / "transforms_train.json").write_text(json.dumps(meta))
+    ds = BlenderDataset(str(tmp_path))
+    ds.load_cameras()
+    assert len(ds.get_train_cameras()) == 3
+    cam = ds.get_train_cameras()[0]
+    # blender -z forward flipped to +z forward: forward axis = -world z ... the
+    # camera looks along R[:,2]; with identity c2w it must be (0,0,-1)
+    np.testing.assert_allclose(np.asarray(cam.R)[:, 2], [0, 0, -1], atol=1e-6)
+    pts, cols = ds.get_point_cloud()
+    assert len(pts) > 0
+
+
+def test_dataset_dispatch_random(tmp_path):
+    from mini3dgs_tpu.config import TrainingConfig
+    cfg = TrainingConfig(data_path=str(tmp_path / "nonexistent"),
+                         image_height=32, image_width=32)
+    ds = load_dataset(cfg)
+    assert isinstance(ds, RandomDataset)
+    assert len(ds.get_train_cameras()) > 0

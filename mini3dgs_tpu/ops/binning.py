@@ -5,21 +5,28 @@ ascending depth sort of the visible set) + `:263-298` (per-Gaussian AABB ->
 overlapped 16x16 tiles, Python bucket lists).  The reference sorts Gaussians
 once globally and then bins; the canonical high-performance formulation — and
 ours — duplicates each Gaussian into one *instance per overlapped tile* and
-sorts instances by the composite (tile_id, depth) key, which makes every
-tile's working set a contiguous depth-ordered slice.
+sorts instances by a composite (tile, depth) key, which makes every tile's
+working set a contiguous depth-ordered slice.
 
-TPU-first design (all static shapes):
-  * candidate instances are a dense [C, MAX_DUP] grid (MAX_DUP bounds tiles
-    per Gaussian via the radius_max clamp, renderer.py:24-27);
-  * compaction into the fixed-capacity instance buffer is an exclusive-scan
-    scatter (no host sync, overflow drops are counted);
-  * the lexicographic sort is one `lax.sort` with two keys (XLA's optimized
-    multi-operand sort — runs on-chip, and is the piece that becomes a sharded
-    radix sort over ICI in the multi-chip path);
-  * instances are re-scattered into a *chunk-aligned padded layout*: tile t's
-    slice starts at a multiple of the kernel chunk G, so the raster kernel's
-    fixed-size DMAs never touch another tile's instances — this is what makes
-    the hand-written backward race-free without atomics.
+TPU-first design (all static shapes, and **scatter-free**: XLA scatters
+lower to serial loops on TPU, so every placement step below is expressed as
+sort + gather):
+  1. Gaussians are depth-sorted once (C elements), so a Gaussian's row index
+     IS its depth rank — exactly the reference's stable global depth order.
+  2. Each sorted Gaussian emits up to MAX_DUP tile candidates (MAX_DUP is
+     bounded by the radius_max clamp, renderer.py:24-27) with a single int32
+     key  tile_id * C + depth_rank  (invalid -> INT32_MAX).
+  3. ONE `lax.sort` over the [C * MAX_DUP] candidates compacts and orders
+     them: the first K slots are the instance buffer, tile-major and
+     front-to-back within each tile.
+  4. The chunk-aligned padded layout (tile t starts at a multiple of the
+     kernel chunk G, so raster DMAs never cross tiles — what makes the
+     hand-written backward race-free) is a pure gather: each padded slot
+     computes which sorted instance it holds via searchsorted on the padded
+     starts.
+
+This sort is the component that becomes a sharded multi-chip sort over ICI in
+the parallel path (each tile-band device sorts only its band's instances).
 """
 
 from __future__ import annotations
@@ -48,6 +55,8 @@ ROW_X, ROW_Y, ROW_QA, ROW_QB, ROW_QC, ROW_OP = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_DEPTH, ROW_ONE = 6, 7, 8, 9, 10
 N_ROWS = 16  # padded for clean sublane tiling; rows 11..15 unused
 
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
 
 def max_dup_for(radius_max: float, tile_size: int) -> int:
     """Static bound on tiles one Gaussian can overlap (AABB of side
@@ -57,8 +66,8 @@ def max_dup_for(radius_max: float, tile_size: int) -> int:
 
 
 def _tile_bounds(means2d, radius, H, W, tile_size):
-    """Integer AABB -> inclusive tile bounds (reference renderer.py:279-293)."""
-    # int() in the reference truncates toward zero, not floor.
+    """Integer AABB -> inclusive tile bounds (reference renderer.py:279-293).
+    int() in the reference truncates toward zero, not floor."""
     r = jnp.trunc(radius).astype(jnp.int32)
     cx = jnp.trunc(means2d[:, 0]).astype(jnp.int32)
     cy = jnp.trunc(means2d[:, 1]).astype(jnp.int32)
@@ -100,9 +109,19 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     per_axis = (2 * math.ceil(radius_max) + 1 + tile_size - 1) // tile_size + 1
     per_axis = min(per_axis, max(tiles_x, tiles_y))
     MAX_DUP = per_axis * per_axis
+    # Key packing: tile * C + depth_rank must fit int32.
+    assert (num_tiles + 1) * C < 2 ** 31, (
+        "tile/rank key overflows int32; lower capacity or shard tiles")
 
-    gx0, gx1, gy0, gy1, degen = _tile_bounds(proj.means2d, proj.radius,
-                                             fh, fw, tile_size)
+    # ---- 1. global depth sort of the Gaussians (stable ranks) ----
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)  # [C] gaussian ids in depth order
+    means2d = proj.means2d[order]
+    radius = proj.radius[order]
+    visible = proj.visible[order]
+
+    gx0, gx1, gy0, gy1, degen = _tile_bounds(means2d, radius, fh, fw,
+                                             tile_size)
     # global tile bounds -> band-local
     tx0 = gx0 - col0 // tile_size
     tx1 = gx1 - col0 // tile_size
@@ -113,9 +132,9 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     tx1 = jnp.clip(tx1, 0, tiles_x - 1)
     ty0 = jnp.clip(ty0, 0, tiles_y - 1)
     ty1 = jnp.clip(ty1, 0, tiles_y - 1)
-    ok = proj.visible & ~degen & in_band
+    ok = visible & ~degen & in_band
 
-    # Candidate grid [C, MAX_DUP] -> tile ids.
+    # ---- 2. candidate instances [C, MAX_DUP] with composite int32 keys ----
     d = jnp.arange(MAX_DUP, dtype=jnp.int32)
     ddx = (d % per_axis)[None, :]
     ddy = (d // per_axis)[None, :]
@@ -123,68 +142,63 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     cand_ty = ty0[:, None] + ddy
     cand_valid = (ok[:, None] & (cand_tx <= tx1[:, None])
                   & (cand_ty <= ty1[:, None]))
-    cand_tile = jnp.where(cand_valid, cand_ty * tiles_x + cand_tx, num_tiles)
+    cand_tile = cand_ty * tiles_x + cand_tx
+    rank = jnp.arange(C, dtype=jnp.int32)[:, None]
+    cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
+    cand_gid = jnp.broadcast_to(order[:, None].astype(jnp.int32), (C, MAX_DUP))
 
-    # Exclusive-scan compaction into the K-capacity instance buffer.
+    # ---- 3. one sort = compaction + (tile, depth-rank) ordering ----
     K = max_instances
-    flat_valid = cand_valid.reshape(-1)
-    flat_tile = cand_tile.reshape(-1)
-    flat_gid = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None],
-                                (C, MAX_DUP)).reshape(-1)
-    pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
-    n_wanted = pos[-1] + 1
-    dst = jnp.where(flat_valid & (pos < K), pos, K)
-    buf_tile = jnp.full((K,), num_tiles, jnp.int32).at[dst].set(flat_tile, mode="drop")
-    buf_gid = jnp.zeros((K,), jnp.int32).at[dst].set(flat_gid, mode="drop")
-    buf_depth = jnp.full((K,), jnp.inf, jnp.float32).at[dst].set(
-        jnp.broadcast_to(proj.depth[:, None], (C, MAX_DUP)).reshape(-1),
-        mode="drop")
-    n_dropped = jnp.maximum(n_wanted - K, 0)
+    s_key, s_gid = jax.lax.sort(
+        (cand_key.reshape(-1), cand_gid.reshape(-1)), num_keys=1)
+    n_valid = jnp.sum(cand_valid.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_valid - K, 0)
+    s_key = s_key[:K]
+    s_gid = s_gid[:K]
+    s_tile = jnp.where(s_key == _INT32_MAX, num_tiles, s_key // C)
 
-    # Lexicographic (tile, depth) sort; sentinel tile = num_tiles sorts last.
-    s_tile, s_depth, s_gid = jax.lax.sort(
-        (buf_tile, buf_depth, buf_gid), num_keys=2)
-
-    # Per-tile ranges in the sorted buffer.
+    # ---- per-tile ranges in the sorted buffer ----
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(s_tile, tids, side="left").astype(jnp.int32)
     end = jnp.searchsorted(s_tile, tids, side="right").astype(jnp.int32)
     count = end - start
 
-    # Chunk-aligned padded layout.
+    # ---- 4. chunk-aligned padded layout, as a pure gather ----
     G = chunk
     padded_count = ((count + G - 1) // G) * G
     padded_start = (jnp.cumsum(padded_count) - padded_count).astype(jnp.int32)
-    padded_total = padded_start[-1] + padded_count[-1] if num_tiles > 0 else jnp.int32(0)
-    # static capacity of padded layout, rounded to a whole number of chunks
-    # (the raster kernels index instances as [16, K_pad//G, G])
+    padded_total = padded_start[-1] + padded_count[-1]
     K_pad = K + num_tiles * (G - 1) + G
-    K_pad = ((K_pad + G - 1) // G) * G
+    K_pad = ((K_pad + G - 1) // G) * G  # whole number of kernel chunks
 
-    pos_in_tile = jnp.arange(K, dtype=jnp.int32) - start[jnp.clip(s_tile, 0, num_tiles - 1)]
-    new_pos = jnp.where(s_tile < num_tiles,
-                        padded_start[jnp.clip(s_tile, 0, num_tiles - 1)] + pos_in_tile,
-                        K_pad)
-    pad_gid = jnp.zeros((K_pad,), jnp.int32).at[new_pos].set(s_gid, mode="drop")
-    pad_live = jnp.zeros((K_pad,), bool).at[new_pos].set(
-        s_tile < num_tiles, mode="drop")
+    slot = jnp.arange(K_pad, dtype=jnp.int32)
+    slot_tile = jnp.clip(
+        jnp.searchsorted(padded_start, slot, side="right").astype(jnp.int32) - 1,
+        0, num_tiles - 1)
+    offset_in_tile = slot - padded_start[slot_tile]
+    live = (offset_in_tile < count[slot_tile]) & (slot < padded_total)
+    src = jnp.clip(start[slot_tile] + offset_in_tile, 0, K - 1)
+    pad_gid = jnp.where(live, s_gid[src], 0)
 
-    # Pack per-instance attributes [16, K_pad] via differentiable gathers.
+    # ---- pack per-instance attributes [16, K_pad] via gathers ----
     gid = pad_gid
-    live = pad_live.astype(jnp.float32)
-    rows = jnp.zeros((N_ROWS, K_pad), jnp.float32)
-    rows = rows.at[ROW_X].set((proj.means2d[gid, 0] - col0) * live)
-    rows = rows.at[ROW_Y].set((proj.means2d[gid, 1] - row0) * live)
-    rows = rows.at[ROW_QA].set(proj.conic[gid, 0] * live)
-    rows = rows.at[ROW_QB].set(proj.conic[gid, 1] * live)
-    rows = rows.at[ROW_QC].set(proj.conic[gid, 2] * live)
-    rows = rows.at[ROW_OP].set(proj.opacity[gid] * live)
-    rows = rows.at[ROW_R].set(proj.color[gid, 0] * live)
-    rows = rows.at[ROW_G].set(proj.color[gid, 1] * live)
-    rows = rows.at[ROW_B].set(proj.color[gid, 2] * live)
-    rows = rows.at[ROW_DEPTH].set(proj.depth[gid] * live)
-    rows = rows.at[ROW_ONE].set(live)
+    livef = live.astype(jnp.float32)
+    rows = [
+        (proj.means2d[gid, 0] - col0) * livef,   # ROW_X (band-local)
+        (proj.means2d[gid, 1] - row0) * livef,   # ROW_Y
+        proj.conic[gid, 0] * livef,              # ROW_QA
+        proj.conic[gid, 1] * livef,              # ROW_QB
+        proj.conic[gid, 2] * livef,              # ROW_QC
+        proj.opacity[gid] * livef,               # ROW_OP
+        proj.color[gid, 0] * livef,              # ROW_R
+        proj.color[gid, 1] * livef,              # ROW_G
+        proj.color[gid, 2] * livef,              # ROW_B
+        proj.depth[gid] * livef,                 # ROW_DEPTH
+        livef,                                   # ROW_ONE
+    ]
+    rows += [jnp.zeros((K_pad,), jnp.float32)] * (N_ROWS - len(rows))
+    inst = jnp.stack(rows, axis=0)
 
-    return Binning(inst=rows, gauss_id=pad_gid, tile_start=padded_start,
+    return Binning(inst=inst, gauss_id=pad_gid, tile_start=padded_start,
                    tile_count=count, padded_total=padded_total,
                    n_dropped=n_dropped)

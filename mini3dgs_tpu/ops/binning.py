@@ -37,13 +37,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import dtypes as jax_dtypes
 
 from .projection import Projected
 
 
 class Binning(NamedTuple):
-    inst: jnp.ndarray          # [16, K_pad] packed per-instance attributes
     gauss_id: jnp.ndarray      # [K_pad] source Gaussian per padded slot
+    live: jnp.ndarray          # [K_pad] bool: slot holds a real instance
     tile_start: jnp.ndarray    # [T] chunk-aligned start into padded layout
     tile_count: jnp.ndarray    # [T] real instance count per tile
     padded_total: jnp.ndarray  # scalar: #padded slots actually written
@@ -145,17 +147,18 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     cand_tile = cand_ty * tiles_x + cand_tx
     rank = jnp.arange(C, dtype=jnp.int32)[:, None]
     cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
-    cand_gid = jnp.broadcast_to(order[:, None].astype(jnp.int32), (C, MAX_DUP))
 
-    # ---- 3. one sort = compaction + (tile, depth-rank) ordering ----
+    # ---- 3. one single-operand sort = compaction + (tile, rank) ordering ---
+    # The key embeds the depth rank, and rank indexes the depth-sorted order,
+    # so the source Gaussian id is recoverable AFTER the sort (gid =
+    # order[key % C]) — no payload operand, which halves sort bandwidth.
     K = max_instances
-    s_key, s_gid = jax.lax.sort(
-        (cand_key.reshape(-1), cand_gid.reshape(-1)), num_keys=1)
+    s_key = jax.lax.sort(cand_key.reshape(-1))[:K]
     n_valid = jnp.sum(cand_valid.astype(jnp.int32))
     n_dropped = jnp.maximum(n_valid - K, 0)
-    s_key = s_key[:K]
-    s_gid = s_gid[:K]
-    s_tile = jnp.where(s_key == _INT32_MAX, num_tiles, s_key // C)
+    invalid = s_key == _INT32_MAX
+    s_tile = jnp.where(invalid, num_tiles, s_key // C)
+    s_gid = jnp.where(invalid, 0, order[s_key % C].astype(jnp.int32))
 
     # ---- per-tile ranges in the sorted buffer ----
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -171,34 +174,65 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     K_pad = K + num_tiles * (G - 1) + G
     K_pad = ((K_pad + G - 1) // G) * G  # whole number of kernel chunks
 
-    slot = jnp.arange(K_pad, dtype=jnp.int32)
-    slot_tile = jnp.clip(
-        jnp.searchsorted(padded_start, slot, side="right").astype(jnp.int32) - 1,
+    # padded starts are G-aligned, so the slot->tile map factors through a
+    # small per-chunk table (K_pad/G entries) instead of a K_pad-wide
+    # binary search.
+    chunk_ids = jnp.arange(K_pad // G, dtype=jnp.int32)
+    chunk_tile = jnp.clip(
+        jnp.searchsorted(padded_start // G, chunk_ids,
+                         side="right").astype(jnp.int32) - 1,
         0, num_tiles - 1)
+    slot = jnp.arange(K_pad, dtype=jnp.int32)
+    slot_tile = chunk_tile[slot // G]
     offset_in_tile = slot - padded_start[slot_tile]
     live = (offset_in_tile < count[slot_tile]) & (slot < padded_total)
     src = jnp.clip(start[slot_tile] + offset_in_tile, 0, K - 1)
     pad_gid = jnp.where(live, s_gid[src], 0)
 
-    # ---- pack per-instance attributes [16, K_pad] via gathers ----
-    gid = pad_gid
-    livef = live.astype(jnp.float32)
-    rows = [
-        (proj.means2d[gid, 0] - col0) * livef,   # ROW_X (band-local)
-        (proj.means2d[gid, 1] - row0) * livef,   # ROW_Y
-        proj.conic[gid, 0] * livef,              # ROW_QA
-        proj.conic[gid, 1] * livef,              # ROW_QB
-        proj.conic[gid, 2] * livef,              # ROW_QC
-        proj.opacity[gid] * livef,               # ROW_OP
-        proj.color[gid, 0] * livef,              # ROW_R
-        proj.color[gid, 1] * livef,              # ROW_G
-        proj.color[gid, 2] * livef,              # ROW_B
-        proj.depth[gid] * livef,                 # ROW_DEPTH
-        livef,                                   # ROW_ONE
-    ]
-    rows += [jnp.zeros((K_pad,), jnp.float32)] * (N_ROWS - len(rows))
-    inst = jnp.stack(rows, axis=0)
-
-    return Binning(inst=inst, gauss_id=pad_gid, tile_start=padded_start,
+    return Binning(gauss_id=pad_gid, live=live, tile_start=padded_start,
                    tile_count=count, padded_total=padded_total,
                    n_dropped=n_dropped)
+
+
+# ---------------------------------------------------------------------------
+# Instance packing with a scatter-free hand-written VJP.
+#
+# Forward: inst[j, k] = attrs[gid[k], j] * live[k]  — one XLA gather.
+# XLA's automatic transpose of that gather is a scatter-add, which lowers to a
+# SERIAL loop on TPU; instead the backward sorts slots by Gaussian id and
+# reduces each Gaussian's (at most MAX_DUP) contiguous instances with a
+# bounded gather-sum: exact (no long-cumsum cancellation) and fully vector.
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def pack_instances(attrs: jnp.ndarray, gid: jnp.ndarray, live: jnp.ndarray,
+                   max_dup: int) -> jnp.ndarray:
+    """attrs [C, N_ROWS] per-Gaussian attributes -> inst [N_ROWS, K_pad]."""
+    return (attrs[gid] * live[:, None].astype(attrs.dtype)).T
+
+
+def _pack_fwd(attrs, gid, live, max_dup):
+    return pack_instances(attrs, gid, live, max_dup), (gid, live, attrs.shape[0])
+
+
+def _pack_bwd(max_dup, res, g):
+    gid, live, C = res
+    K_pad = gid.shape[0]
+    key = jnp.where(live, gid, C)
+    order = jnp.argsort(key)                       # dead slots sort last
+    sorted_key = key[order]
+    start = jnp.searchsorted(sorted_key, jnp.arange(C, dtype=jnp.int32),
+                             side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_key, jnp.arange(C, dtype=jnp.int32),
+                           side="right").astype(jnp.int32)
+    idx = start[:, None] + jnp.arange(max_dup, dtype=jnp.int32)[None, :]
+    valid = idx < end[:, None]                     # [C, MAX_DUP]
+    pos = order[jnp.clip(idx, 0, K_pad - 1)]       # slot positions
+    vals = g.T[pos]                                # [C, MAX_DUP, N_ROWS]
+    d_attrs = jnp.sum(jnp.where(valid[..., None], vals, 0.0), axis=1)
+    zero_i = np.zeros(gid.shape, jax_dtypes.float0)
+    zero_b = np.zeros(live.shape, jax_dtypes.float0)
+    return d_attrs, zero_i, zero_b
+
+
+pack_instances.defvjp(_pack_fwd, _pack_bwd)

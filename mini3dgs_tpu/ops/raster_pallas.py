@@ -354,19 +354,29 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
                         radius_max=radius_max, row0=row0, col0=col0,
                         full_height=full_height, full_width=full_width)
-    K_pad = b.inst.shape[1]
-    # binning already rebased instance coordinates to the band, so the kernel
-    # always rasterizes at local origin.
+    K_pad = b.gauss_id.shape[0]
+    # binning rebases instance coordinates to the band, so the kernel always
+    # rasterizes at local origin.
     op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K_pad,
                          0, 0, interpret)
-    # Gradient hygiene for the unwritten tail of d_inst (beyond all padded
-    # slices): mask the instance matrix columns so the VJP's gather-transpose
-    # never reads kernel garbage.  col < padded_total is exactly the written
-    # region.
-    col_written = (jnp.arange(K_pad) < b.padded_total)
-    # jnp.where's VJP masks the cotangent with the same predicate, which is
-    # exactly the hygiene we need (d_inst tail garbage never reaches params).
-    inst = jnp.where(col_written[None, :], b.inst, 0.0)
+    # Per-Gaussian attribute matrix -> packed instances via the scatter-free
+    # custom-VJP gather (binning.pack_instances).  Gradient hygiene for the
+    # kernel's unwritten d_inst tail is automatic: the pack backward only
+    # reads live slots, all of which lie inside the written region.
+    per_axis = (2 * math.ceil(radius_max) + 1 + tile_size - 1) // tile_size + 1
+    per_axis = min(per_axis, max(tiles_x, tiles_y))
+    max_dup = per_axis * per_axis
+    zeros = jnp.zeros_like(proj.depth)
+    attrs = jnp.stack([
+        proj.means2d[:, 0] - jnp.float32(col0),    # ROW_X (band-local)
+        proj.means2d[:, 1] - jnp.float32(row0),    # ROW_Y
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.opacity,
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        proj.depth,
+        jnp.ones_like(proj.depth),                 # ROW_ONE (* live -> mask)
+    ] + [zeros] * (N_ROWS - 11), axis=1)           # [C, 16]
+    inst = B.pack_instances(attrs, b.gauss_id, b.live, max_dup)
     # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
     # chunk dim must be the major (untiled) one for Mosaic
     inst = inst.reshape(N_ROWS, K_pad // G, G).transpose(1, 0, 2)

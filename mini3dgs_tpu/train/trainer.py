@@ -48,9 +48,16 @@ def create_train_state(gaussians: Gaussians, config: TrainingConfig) -> TrainSta
 
 
 def make_train_step(config: TrainingConfig,
-                    settings: RenderSettings) -> Callable:
-    """Build the jitted train step: render -> loss -> grad -> adam -> stats."""
+                    settings: RenderSettings,
+                    sh_degree: Optional[int] = None) -> Callable:
+    """Build the jitted train step: render -> loss -> grad -> adam -> stats.
+
+    `sh_degree` overrides the settings' degree (used by the trainer's
+    progressive SH unlock — canonical 3DGS raises the active degree every
+    `sh_increase_interval` iterations)."""
     tx = make_optimizer(config)
+    if sh_degree is not None:
+        settings = settings.replace(sh_degree=sh_degree)
 
     def loss_fn(params, g: Gaussians, camera: Camera):
         g = g.with_params(params)
@@ -122,7 +129,7 @@ class GaussianTrainer:
         self.scene_extent = 0.0
         self.train_losses: List[float] = []
         self.val_losses: List[float] = []
-        self._train_step = None
+        self._train_steps = {}
         self._densify_step = None
         self._key = jax.random.PRNGKey(config.seed)
 
@@ -151,7 +158,7 @@ class GaussianTrainer:
                 color_mode=self.config.color_mode,
                 sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)
         self.state = create_train_state(gaussians, self.config)
-        self._train_step = make_train_step(self.config, self.settings)
+        self._train_steps = {}  # active SH degree -> jitted step
         self._densify_step = make_densify_step(self.config)
         self.scene_extent = float(scene_extent_of(gaussians))
 
@@ -162,9 +169,20 @@ class GaussianTrainer:
         return float(scene_extent_of(self.state.gaussians))
 
     # ------------------------------------------------------------------
+    def active_sh_degree(self) -> int:
+        """Progressive SH unlock (canonical 3DGS: one band per interval)."""
+        if self.settings.color_mode != "sh" or self.config.sh_increase_interval <= 0:
+            return self.settings.sh_degree
+        return min(self.iteration // self.config.sh_increase_interval,
+                   self.config.sh_degree)
+
     def train_step(self, camera: Camera) -> Dict[str, float]:
         """Single step (reference trainer.py:61-65)."""
-        self.state, metrics = self._train_step(self.state, camera)
+        deg = self.active_sh_degree()
+        if deg not in self._train_steps:
+            self._train_steps[deg] = make_train_step(self.config,
+                                                     self.settings, deg)
+        self.state, metrics = self._train_steps[deg](self.state, camera)
         self.iteration = int(self.state.step)
         return metrics
 

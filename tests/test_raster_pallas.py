@@ -43,20 +43,22 @@ def test_binning_ranges_consistent():
     start = np.asarray(b.tile_start)
     count = np.asarray(b.tile_count)
     gid = np.asarray(b.gauss_id)
-    inst = np.asarray(b.inst)
+    live = np.asarray(b.live)
     depth = np.asarray(proj.depth)
     assert int(b.n_dropped) == 0
     # starts are chunk-aligned and depths ascend within each tile
     assert np.all(start % 32 == 0)
     for t in range(16):
         c = count[t]
+        seg = slice(start[t], start[t] + c)
+        assert np.all(live[seg])
+        # padding up to the chunk boundary is dead
+        pad_end = start[t] + ((c + 31) // 32) * 32
+        assert not np.any(live[start[t] + c:pad_end])
         if c == 0:
             continue
-        seg = slice(start[t], start[t] + c)
         d = depth[gid[seg]]
         assert np.all(np.diff(d) >= 0), t
-        # packed depth row matches gathered depth
-        np.testing.assert_allclose(inst[binning.ROW_DEPTH, seg], d, rtol=1e-6)
 
 
 @pytest.mark.parametrize("bg", [[0.0, 0.0, 0.0], [0.3, 0.6, 0.9]])

@@ -174,20 +174,30 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     K_pad = K + num_tiles * (G - 1) + G
     K_pad = ((K_pad + G - 1) // G) * G  # whole number of kernel chunks
 
-    # padded starts are G-aligned, so the slot->tile map factors through a
-    # small per-chunk table (K_pad/G entries) instead of a K_pad-wide
-    # binary search.
-    chunk_ids = jnp.arange(K_pad // G, dtype=jnp.int32)
+    # Padded starts are G-aligned, so all slot bookkeeping factors through
+    # chunk granularity: per-chunk scalars broadcast over [NC, G] instead of
+    # per-slot scalar gathers (a TPU scalar gather reads a whole tile per
+    # element — the difference is tens of GB of traffic).
+    NC = K_pad // G
+    chunk_ids = jnp.arange(NC, dtype=jnp.int32)
     chunk_tile = jnp.clip(
         jnp.searchsorted(padded_start // G, chunk_ids,
                          side="right").astype(jnp.int32) - 1,
-        0, num_tiles - 1)
-    slot = jnp.arange(K_pad, dtype=jnp.int32)
-    slot_tile = chunk_tile[slot // G]
-    offset_in_tile = slot - padded_start[slot_tile]
-    live = (offset_in_tile < count[slot_tile]) & (slot < padded_total)
-    src = jnp.clip(start[slot_tile] + offset_in_tile, 0, K - 1)
-    pad_gid = jnp.where(live, s_gid[src], 0)
+        0, num_tiles - 1)                                  # [NC]
+    c_pstart = padded_start[chunk_tile]                    # [NC] small gathers
+    c_count = count[chunk_tile]
+    c_start = start[chunk_tile]
+    slot = jnp.arange(K_pad, dtype=jnp.int32).reshape(NC, G)
+    offset_in_tile = slot - c_pstart[:, None]              # [NC, G]
+    live = (offset_in_tile < c_count[:, None]) & (slot < padded_total)
+    # Source instances are contiguous per chunk: one sliced gather of G-wide
+    # rows from the sorted buffer instead of K_pad random lookups.
+    src_start = jnp.clip(c_start + (slot[:, 0] - c_pstart), 0, K - 1)
+    s_gid_pad = jnp.concatenate([s_gid, jnp.zeros((G,), jnp.int32)])
+    chunk_gids = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(s_gid_pad, (s,), (G,)))(src_start)
+    pad_gid = jnp.where(live, chunk_gids, 0).reshape(-1)
+    live = live.reshape(-1)
 
     return Binning(gauss_id=pad_gid, live=live, tile_start=padded_start,
                    tile_count=count, padded_total=padded_total,
@@ -216,20 +226,29 @@ def _pack_fwd(attrs, gid, live, max_dup):
 
 
 def _pack_bwd(max_dup, res, g):
+    # TPU gather economics drive this implementation: a scalar gather reads a
+    # whole (~4KB) tile per element, so per-element random access is ~1000x
+    # more expensive than contiguous [*, 16] row gathers.  Everything below
+    # is sort / lane-cumsum / row-gather only (measured: 218ms -> ~5ms).
     gid, live, C = res
     K_pad = gid.shape[0]
     key = jnp.where(live, gid, C)
-    order = jnp.argsort(key)                       # dead slots sort last
-    sorted_key = key[order]
-    start = jnp.searchsorted(sorted_key, jnp.arange(C, dtype=jnp.int32),
-                             side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_key, jnp.arange(C, dtype=jnp.int32),
-                           side="right").astype(jnp.int32)
-    idx = start[:, None] + jnp.arange(max_dup, dtype=jnp.int32)[None, :]
-    valid = idx < end[:, None]                     # [C, MAX_DUP]
-    pos = order[jnp.clip(idx, 0, K_pad - 1)]       # slot positions
-    vals = g.T[pos]                                # [C, MAX_DUP, N_ROWS]
-    d_attrs = jnp.sum(jnp.where(valid[..., None], vals, 0.0), axis=1)
+    iota = jnp.arange(K_pad, dtype=jnp.int32)
+    sorted_key, order = jax.lax.sort((key, iota), num_keys=1)
+    gT = jax.lax.optimization_barrier(g.T)         # materialize [K_pad, 16]
+    sorted_vals = gT[order]                        # one row gather
+    # inclusive prefix sums per attribute row (lane-direction scan), then a
+    # single relayout to row-gatherable [K_pad+1, 16]
+    csum = jnp.cumsum(sorted_vals.T, axis=1).T     # [K_pad, 16]
+    csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
+                           axis=0)
+    qs = jnp.arange(C, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_key, qs, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sorted_key, qs, side="right").astype(jnp.int32)
+    # Segment sum = prefix difference.  Segments hold at most MAX_DUP (<=64)
+    # terms, so cancellation error is ~eps * |global prefix| — acceptable at
+    # float32 for gradient use (validated against autodiff in tests).
+    d_attrs = csum[end] - csum[start]              # [C, 16] row gathers
     zero_i = np.zeros(gid.shape, jax_dtypes.float0)
     zero_b = np.zeros(live.shape, jax_dtypes.float0)
     return d_attrs, zero_i, zero_b

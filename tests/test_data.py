@@ -164,3 +164,23 @@ def test_dataset_dispatch_random(tmp_path):
     ds = load_dataset(cfg)
     assert isinstance(ds, RandomDataset)
     assert len(ds.get_train_cameras()) > 0
+
+
+def test_gaussian_ply_roundtrip(tmp_path):
+    import jax
+    from mini3dgs_tpu.core.gaussians import create_from_random
+    from mini3dgs_tpu.utils.gaussian_ply import (export_gaussians_ply,
+                                                 import_gaussians_ply)
+    g = create_from_random(jax.random.PRNGKey(0), 20, scene_extent=1.0,
+                           capacity=32)
+    p = str(tmp_path / "model.ply")
+    n = export_gaussians_ply(g, p)
+    assert n == 20
+    g2 = import_gaussians_ply(p, capacity=32)
+    alive = np.asarray(g.alive)
+    for field in ("xyz", "features_dc", "features_rest", "scaling",
+                  "rotation", "opacity"):
+        np.testing.assert_allclose(np.asarray(getattr(g2, field))[alive],
+                                   np.asarray(getattr(g, field))[alive],
+                                   atol=1e-6, err_msg=field)
+    assert int(g2.num_alive()) == 20

@@ -117,16 +117,28 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
 
     chunk0 = start // G  # start is chunk-aligned by construction
 
-    def body(carry):
-        ci, T, acc = carry
+    def dma(ci):
         # inst_hbm is [K_pad//G, 16, G]: dynamic index on the MAJOR dim only —
         # Mosaic requires dynamically-sliced dims to be untiled (the last two
-        # dims carry the (8,128) tiling).
-        cp = pltpu.make_async_copy(
-            inst_hbm.at[chunk0 + ci], chunk_ref, sem)
-        cp.start()
-        cp.wait()
-        ch = chunk_ref[:]
+        # dims carry the (8,128) tiling).  Slot ci%2 double-buffers.
+        slot = jax.lax.rem(ci, 2)
+        return pltpu.make_async_copy(
+            inst_hbm.at[jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)],
+            chunk_ref.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(jnp.int32(0)).start()
+
+    def body(carry):
+        ci, T, acc = carry
+        # prefetch next chunk while computing this one
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1).start()
+
+        dma(ci).wait()
+        ch = chunk_ref[jax.lax.rem(ci, 2)]
         m = _chunk_alpha(ch, px, py, count, ci, G)
         one_minus = 1.0 - m["alpha"]
         cprod = _cumprod_last(one_minus)
@@ -149,8 +161,13 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
 
     init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
             jnp.zeros((N_ACC, P), jnp.float32))
-    _, _, acc = jax.lax.while_loop(cond, body, init)
+    stop_ci, _, acc = jax.lax.while_loop(cond, body, init)
     out_ref[0] = acc
+    # If the loop exited early (or at the boundary), a prefetched DMA may be
+    # in flight: consume its semaphore so the next grid step starts clean.
+    @pl.when(stop_ci < n_chunks)
+    def _():
+        dma(stop_ci).wait()
 
 
 # ======================== backward kernel ========================
@@ -172,13 +189,25 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
 
     chunk0 = start // G  # start is chunk-aligned by construction
 
+    def dma(ci):
+        slot = jax.lax.rem(ci, 2)
+        return pltpu.make_async_copy(
+            inst_hbm.at[jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)],
+            chunk_ref.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(jnp.int32(0)).start()
+
     def body(carry):
         ci, T, prefix = carry
-        cp = pltpu.make_async_copy(
-            inst_hbm.at[chunk0 + ci], chunk_ref, sem)
-        cp.start()
-        cp.wait()
-        ch = chunk_ref[:]
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1).start()
+
+        dma(ci).wait()
+        ch = chunk_ref[jax.lax.rem(ci, 2)]
         m = _chunk_alpha(ch, px, py, count, ci, G)
         alpha = m["alpha"]
         one_minus = 1.0 - alpha
@@ -249,8 +278,13 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
             jnp.zeros((P, 1), jnp.float32))
     stop_ci, _, _ = jax.lax.while_loop(cond, body, init)
 
+    # Drain any in-flight prefetch after an early exit.
+    @pl.when(stop_ci < n_chunks)
+    def _():
+        dma(stop_ci).wait()
+
     # Chunks skipped by early exit still own slots in d_inst: write zeros so
-    # the XLA scatter-back sees exact zero gradients (not garbage).
+    # the pack backward sees exact zero gradients (not garbage).
     def zbody(ci):
         dchunk_ref[:] = jnp.zeros((N_ROWS, G), jnp.float32)
         wr = pltpu.make_async_copy(
@@ -279,8 +313,8 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((N_ROWS, G), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
 
     def fwd_call(inst, tile_start, tile_count):
@@ -300,9 +334,9 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                   pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((N_ROWS, G), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
                         pltpu.VMEM((N_ROWS, G), jnp.float32),
-                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA],
     )
 

@@ -152,9 +152,34 @@ def rasterize_image(means2d, conic, depth, color, opacity, visible,
                           indexing="ij")
     px = xs.reshape(-1)
     py = ys.reshape(-1)
-    rgb, A, D = rasterize_pixels(px, py, means2d, conic, depth, color,
-                                 opacity, visible, chunk=chunk,
-                                 tile_bounds=tile_bounds, tile_size=tile_size)
+    n_pix = height * width
+    pixel_block = 65536
+    if n_pix <= pixel_block:
+        rgb, A, D = rasterize_pixels(px, py, means2d, conic, depth, color,
+                                     opacity, visible, chunk=chunk,
+                                     tile_bounds=tile_bounds,
+                                     tile_size=tile_size)
+    else:
+        # Large images: map over pixel blocks to bound the [pixels, chunk]
+        # intermediates (the golden path must scale far enough to serve as
+        # the baseline oracle at benchmark sizes).
+        pad = (-n_pix) % pixel_block
+        pxp = jnp.pad(px, (0, pad))
+        pyp = jnp.pad(py, (0, pad))
+        nb = (n_pix + pad) // pixel_block
+
+        def block(args):
+            bx, by = args
+            return rasterize_pixels(bx, by, means2d, conic, depth, color,
+                                    opacity, visible, chunk=chunk,
+                                    tile_bounds=tile_bounds,
+                                    tile_size=tile_size)
+
+        rgb, A, D = jax.lax.map(block, (pxp.reshape(nb, pixel_block),
+                                        pyp.reshape(nb, pixel_block)))
+        rgb = rgb.reshape(-1, 3)[:n_pix]
+        A = A.reshape(-1)[:n_pix]
+        D = D.reshape(-1)[:n_pix]
     image = rgb + (1.0 - A)[:, None] * bg[None, :]
     image = jnp.clip(image, 0.0, 1.0).reshape(height, width, 3).transpose(2, 0, 1)
     alpha = jnp.clip(A, 0.0, 1.0).reshape(1, height, width)

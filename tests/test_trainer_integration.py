@@ -1,0 +1,83 @@
+"""End-to-end GaussianTrainer integration: the full orchestration loop
+(sample camera -> step -> densify -> opacity reset -> validate -> checkpoint)
+on a tiny synthetic scene (reference trainer.py:45-59 pipeline)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini3dgs_tpu.config import TrainingConfig
+from mini3dgs_tpu.core.gaussians import create_from_random
+from mini3dgs_tpu.data.dataset import RandomDataset
+from mini3dgs_tpu.ops.renderer import RenderSettings, render
+from mini3dgs_tpu.train.trainer import GaussianTrainer
+
+
+def build_trainer(tmp_path, iterations=30, **cfg_kw):
+    size = 32
+    cfg = TrainingConfig(
+        capacity=256, image_height=size, image_width=size, use_pallas=False,
+        iterations=iterations, densify_from_iter=5, densify_until_iter=25,
+        densify_interval=10, densify_grad_threshold=1e-5,
+        opacity_reset_interval=0, log_interval=10, eval_interval=20,
+        save_interval=10 ** 9, output_path=str(tmp_path), **cfg_kw)
+    ds = RandomDataset(n_cameras=3, width=size, height=size)
+    ds.load_cameras()
+    settings = RenderSettings(image_height=size, image_width=size)
+    hidden = create_from_random(jax.random.PRNGKey(42), 64, scene_extent=0.8,
+                                capacity=256)
+    ds.train_cameras = [
+        cam.replace(image=render(hidden, cam, settings)["image"])
+        for cam in ds.train_cameras]
+    ds.test_cameras = ds.train_cameras[:1]
+    trainer = GaussianTrainer(cfg, settings)
+    init = create_from_random(jax.random.PRNGKey(0), 80, scene_extent=0.8,
+                              capacity=256)
+    trainer.setup(dataset=ds, gaussians=init)
+    return trainer
+
+
+def test_trainer_full_loop(tmp_path):
+    trainer = build_trainer(tmp_path)
+    first = trainer.train_step(trainer.train_cameras()[0])
+    loss0 = float(first["total_loss"])
+    trainer.train(iterations=29)
+    assert trainer.iteration == 30
+    assert len(trainer.train_losses) >= 2
+    final = trainer.train_losses[-1]
+    assert np.isfinite(final)
+    assert final < loss0 * 1.5  # not diverging
+    val = trainer.validate()
+    assert "psnr" in val and np.isfinite(val["psnr"])
+    # densification actually ran and the pool is still consistent
+    n_alive = int(trainer.state.gaussians.num_alive())
+    assert 0 < n_alive <= 256
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    trainer = build_trainer(tmp_path, iterations=10)
+    trainer.train(iterations=10)
+    trainer.save_checkpoint(trainer.iteration)
+    xyz_before = np.asarray(trainer.state.gaussians.xyz)
+    step_before = trainer.iteration
+
+    trainer2 = build_trainer(tmp_path / "fresh", iterations=10)
+    trainer2.config = trainer.config  # same output path
+    trainer2.load_checkpoint(step_before)
+    np.testing.assert_array_equal(np.asarray(trainer2.state.gaussians.xyz),
+                                  xyz_before)
+    assert trainer2.iteration == step_before
+    # resumed training continues cleanly
+    m = trainer2.train_step(trainer2.train_cameras()[0])
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_trainer_scene_extent():
+    import pytest
+    trainer = build_trainer.__wrapped__ if hasattr(build_trainer, "__wrapped__") else None
+    # direct check on the standalone helper
+    from mini3dgs_tpu.core.gaussians import scene_extent_of
+    g = create_from_random(jax.random.PRNGKey(1), 50, scene_extent=2.0,
+                           capacity=64)
+    ext = float(scene_extent_of(g))
+    assert 1.0 < ext < 5.0

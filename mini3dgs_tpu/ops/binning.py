@@ -60,6 +60,19 @@ N_ROWS = 16  # padded for clean sublane tiling; rows 11..15 unused
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _cumsum_doubling_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum along the last axis via log2(n) shifted adds
+    (full-bandwidth VPU passes; avoids XLA's serial cumsum lowering)."""
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[..., :k]), x[..., :-k]], axis=-1)
+        x = x + shifted
+        k *= 2
+    return x
+
+
 def max_dup_for(radius_max: float, tile_size: int) -> int:
     """Static bound on tiles one Gaussian can overlap (AABB of side
     2*radius+1 px, radius clamped by radius_max)."""
@@ -237,9 +250,11 @@ def _pack_bwd(max_dup, res, g):
     sorted_key, order = jax.lax.sort((key, iota), num_keys=1)
     gT = jax.lax.optimization_barrier(g.T)         # materialize [K_pad, 16]
     sorted_vals = gT[order]                        # one row gather
-    # inclusive prefix sums per attribute row (lane-direction scan), then a
-    # single relayout to row-gatherable [K_pad+1, 16]
-    csum = jnp.cumsum(sorted_vals.T, axis=1).T     # [K_pad, 16]
+    # inclusive prefix sums per attribute row (lane-direction Hillis-Steele
+    # doubling: log2(K) full-bandwidth passes — jnp.cumsum on a megasized
+    # axis lowers to a serial scan, ~140GB of traffic), then one relayout to
+    # row-gatherable [K_pad+1, 16]
+    csum = _cumsum_doubling_last(sorted_vals.T).T  # [K_pad, 16]
     csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
                            axis=0)
     qs = jnp.arange(C, dtype=jnp.int32)

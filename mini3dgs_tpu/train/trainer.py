@@ -161,6 +161,11 @@ class GaussianTrainer:
         self._train_steps = {}  # active SH degree -> jitted step
         self._densify_step = make_densify_step(self.config)
         self.scene_extent = float(scene_extent_of(gaussians))
+        # multi-device: (data, tile) mesh via parallel/sharded.py
+        self.mesh = None
+        if self.config.mesh_data * self.config.mesh_tile > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(self.config.mesh_data, self.config.mesh_tile)
 
     def train_cameras(self) -> Sequence[Camera]:
         return self.dataset.get_train_cameras() if self.dataset else []
@@ -177,11 +182,24 @@ class GaussianTrainer:
                    self.config.sh_degree)
 
     def train_step(self, camera: Camera) -> Dict[str, float]:
-        """Single step (reference trainer.py:61-65)."""
+        """Single step (reference trainer.py:61-65).  On a multi-device mesh
+        `camera` may be a batched camera pytree (leading dim = data axis)."""
         deg = self.active_sh_degree()
         if deg not in self._train_steps:
-            self._train_steps[deg] = make_train_step(self.config,
-                                                     self.settings, deg)
+            if self.mesh is not None:
+                from ..parallel.sharded import make_sharded_train_step
+                settings = self.settings.replace(sh_degree=deg)
+                self._train_steps[deg] = make_sharded_train_step(
+                    self.config, settings, self.mesh)
+            else:
+                self._train_steps[deg] = make_train_step(self.config,
+                                                         self.settings, deg)
+        if self.mesh is not None and camera.R.ndim == 2:
+            # replicate a single camera across the data axis
+            n = self.mesh.shape["data"]
+            camera = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (n,) + x.shape)
+                if x is not None else None, camera)
         self.state, metrics = self._train_steps[deg](self.state, camera)
         self.iteration = int(self.state.step)
         return metrics
@@ -193,9 +211,16 @@ class GaussianTrainer:
         cams = list(self.train_cameras())
         rng = np.random.default_rng(self.config.seed)
         metrics = {}
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
         for _ in range(iterations):
             it = self.iteration + 1
-            cam = cams[int(rng.integers(len(cams)))]
+            if n_data > 1:
+                sel = [cams[int(rng.integers(len(cams)))] for _ in range(n_data)]
+                # static metadata must match across the stack
+                sel = [c.replace(uid=0, image_name="") for c in sel]
+                cam = jax.tree.map(lambda *x: jnp.stack(x), *sel)
+            else:
+                cam = cams[int(rng.integers(len(cams)))]
             metrics = self.train_step(cam)
             if density.should_densify(it, self.config):
                 self._key, sub = jax.random.split(self._key)

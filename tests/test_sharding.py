@@ -95,3 +95,14 @@ def test_data_parallel_averages_gradients():
     # Params remain replicated across devices after the update.
     xyz = state.gaussians.xyz
     assert np.all(np.isfinite(np.asarray(xyz)))
+
+
+@requires_8
+def test_trainer_with_mesh(tmp_path):
+    """GaussianTrainer orchestration on a (2 data x 2 tile) mesh."""
+    from tests.test_trainer_integration import build_trainer
+    trainer = build_trainer(tmp_path, iterations=6, mesh_data=2, mesh_tile=2)
+    assert trainer.mesh is not None
+    trainer.train(iterations=6)
+    assert trainer.iteration == 6
+    assert np.isfinite(trainer.train_losses[-1] if trainer.train_losses else 0.0)

@@ -73,6 +73,25 @@ def _cumsum_doubling_last(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _cumsum_blocked_last(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Two-level inclusive cumsum along the last axis: doubling within
+    `block`-wide tiles (log2(block) full passes) plus a tiny scan over block
+    totals — ~2x fewer full-bandwidth passes than flat doubling for
+    megascale axes."""
+    n = x.shape[-1]
+    if n <= block:
+        return _cumsum_doubling_last(x)
+    pad = (-n) % block
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    nb = (n + pad) // block
+    xb = xp.reshape(x.shape[:-1] + (nb, block))
+    within = _cumsum_doubling_last(xb)
+    totals = within[..., -1]
+    offsets = _cumsum_doubling_last(totals) - totals   # exclusive block offsets
+    out = (within + offsets[..., None]).reshape(x.shape[:-1] + (n + pad,))
+    return out[..., :n]
+
+
 def max_dup_for(radius_max: float, tile_size: int) -> int:
     """Static bound on tiles one Gaussian can overlap (AABB of side
     2*radius+1 px, radius clamped by radius_max)."""
@@ -124,9 +143,10 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     per_axis = (2 * math.ceil(radius_max) + 1 + tile_size - 1) // tile_size + 1
     per_axis = min(per_axis, max(tiles_x, tiles_y))
     MAX_DUP = per_axis * per_axis
-    # Key packing: tile * C + depth_rank must fit int32.
-    assert (num_tiles + 1) * C < 2 ** 31, (
-        "tile/rank key overflows int32; lower capacity or shard tiles")
+    # Key packing: tile * C + depth_rank fits int32 for typical configs; for
+    # very large capacity x tile products fall back to a two-operand
+    # lexicographic sort (same ordering, ~2x sort cost).
+    packed_key = (num_tiles + 1) * C < 2 ** 31
 
     # ---- 1. global depth sort of the Gaussians (stable ranks) ----
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
@@ -159,19 +179,31 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
                   & (cand_ty <= ty1[:, None]))
     cand_tile = cand_ty * tiles_x + cand_tx
     rank = jnp.arange(C, dtype=jnp.int32)[:, None]
-    cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
 
-    # ---- 3. one single-operand sort = compaction + (tile, rank) ordering ---
-    # The key embeds the depth rank, and rank indexes the depth-sorted order,
-    # so the source Gaussian id is recoverable AFTER the sort (gid =
-    # order[key % C]) — no payload operand, which halves sort bandwidth.
+    # ---- 3. one sort = compaction + (tile, rank) ordering ----
     K = max_instances
-    s_key = jax.lax.sort(cand_key.reshape(-1))[:K]
     n_valid = jnp.sum(cand_valid.astype(jnp.int32))
     n_dropped = jnp.maximum(n_valid - K, 0)
-    invalid = s_key == _INT32_MAX
-    s_tile = jnp.where(invalid, num_tiles, s_key // C)
-    s_gid = jnp.where(invalid, 0, order[s_key % C].astype(jnp.int32))
+    if packed_key:
+        # The key embeds the depth rank, and rank indexes the depth-sorted
+        # order, so the source Gaussian id is recoverable AFTER the sort
+        # (gid = order[key % C]) — no payload operand: minimum sort bandwidth.
+        cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
+        s_key = jax.lax.sort(cand_key.reshape(-1))[:K]
+        invalid = s_key == _INT32_MAX
+        s_tile = jnp.where(invalid, num_tiles, s_key // C)
+        s_rank = s_key % C
+    else:
+        # lexicographic (tile, rank) two-operand sort
+        cand_t = jnp.where(cand_valid, cand_tile, _INT32_MAX)
+        cand_r = jnp.broadcast_to(rank, (C, MAX_DUP))
+        s_tile, s_rank = jax.lax.sort(
+            (cand_t.reshape(-1), cand_r.reshape(-1)), num_keys=2)
+        s_tile = s_tile[:K]
+        s_rank = s_rank[:K]
+        invalid = s_tile == _INT32_MAX
+        s_tile = jnp.where(invalid, num_tiles, s_tile)
+    s_gid = jnp.where(invalid, 0, order[s_rank].astype(jnp.int32))
 
     # ---- per-tile ranges in the sorted buffer ----
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -254,7 +286,7 @@ def _pack_bwd(max_dup, res, g):
     # doubling: log2(K) full-bandwidth passes — jnp.cumsum on a megasized
     # axis lowers to a serial scan, ~140GB of traffic), then one relayout to
     # row-gatherable [K_pad+1, 16]
-    csum = _cumsum_doubling_last(sorted_vals.T).T  # [K_pad, 16]
+    csum = _cumsum_blocked_last(sorted_vals.T).T   # [K_pad, 16]
     csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
                            axis=0)
     qs = jnp.arange(C, dtype=jnp.int32)

@@ -35,6 +35,19 @@ def build_covariance_3d(scaling: jnp.ndarray, rotation_q: jnp.ndarray) -> jnp.nd
     return jnp.einsum("...ij,...kj->...ik", RS, R)
 
 
+def project_covariance_2d(cov3d: jnp.ndarray, view_rot: jnp.ndarray,
+                          J: jnp.ndarray) -> jnp.ndarray:
+    """Full EWA covariance projection Sigma2D = J (Rv Sigma Rv^T) J^T.
+
+    The reference's `MathUtils.project_covariance_2d` (math_utils.py:36-42,
+    bug B13) was a broken isotropic stand-in; this is the real chain the
+    renderer inlines (renderer.py:165-183).  cov3d [...,3,3], view_rot [3,3],
+    J [...,2,3] -> [...,2,2].
+    """
+    cov_cam = jnp.einsum("ij,...jk,lk->...il", view_rot, cov3d, view_rot)
+    return jnp.einsum("...ij,...jk,...lk->...il", J, cov_cam, J)
+
+
 def inverse_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.log(x / (1.0 - x))
 

@@ -61,6 +61,16 @@ def accumulate_grad_stats(g: Gaussians, xyz_grad: jnp.ndarray,
     )
 
 
+def size_mask_quantile(g: Gaussians, percent_dense: float) -> jnp.ndarray:
+    """Quantile-based large-Gaussian mask (reference
+    `DensityController._get_size_mask`, optimizer.py:81-88: size > the
+    percent_dense quantile of mean sigmas; alive-only here)."""
+    size = g.get_scaling.mean(axis=-1)
+    masked = jnp.where(g.alive, size, jnp.nan)
+    th = jnp.nanquantile(masked, percent_dense)
+    return g.alive & (size > th)
+
+
 def densify_and_prune(g: Gaussians, key: jax.Array, scene_extent,
                       config: TrainingConfig) -> DensifyResult:
     C = g.capacity

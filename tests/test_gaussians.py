@@ -123,3 +123,34 @@ def test_sh_orthogonality_integrals():
     B = np.stack(basis, axis=1)  # [S, 16]
     gram = (B.T @ B) / v.shape[0] * 4 * np.pi
     np.testing.assert_allclose(gram, np.eye(16), atol=0.25)
+
+
+def test_project_covariance_2d_matches_manual():
+    from mini3dgs_tpu.core.transforms import project_covariance_2d
+    rng = np.random.default_rng(0)
+    cov = rng.standard_normal((5, 3, 3)).astype(np.float32)
+    cov = cov @ np.swapaxes(cov, -1, -2)
+    Rv = np.linalg.qr(rng.standard_normal((3, 3)))[0].astype(np.float32)
+    J = rng.standard_normal((5, 2, 3)).astype(np.float32)
+    out = np.asarray(project_covariance_2d(jnp.asarray(cov), jnp.asarray(Rv),
+                                           jnp.asarray(J)))
+    expected = np.einsum("nij,jk,nkl,ml,nom->nio".replace("o","p"),
+                         J, Rv, cov, Rv, J) if False else \
+        np.stack([J[i] @ Rv @ cov[i] @ Rv.T @ J[i].T for i in range(5)])
+    np.testing.assert_allclose(out, expected, atol=1e-4)
+
+
+def test_size_mask_quantile():
+    from mini3dgs_tpu.train.density import size_mask_quantile
+    g = make_model(32, 64)
+    rng = np.random.default_rng(0)
+    # varied sizes (random init gives uniform sigma -> nothing beats median)
+    scal = np.asarray(g.scaling)
+    scal[:32] = rng.uniform(-4, -1, (32, 3))
+    g = g.replace(scaling=jnp.asarray(scal))
+    mask = np.asarray(size_mask_quantile(g, 0.5))
+    alive = np.asarray(g.alive)
+    assert not np.any(mask[~alive])
+    # roughly half the alive gaussians exceed the median size
+    frac = mask[alive].mean()
+    assert 0.2 <= frac <= 0.8

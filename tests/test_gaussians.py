@@ -145,7 +145,7 @@ def test_size_mask_quantile():
     g = make_model(32, 64)
     rng = np.random.default_rng(0)
     # varied sizes (random init gives uniform sigma -> nothing beats median)
-    scal = np.asarray(g.scaling)
+    scal = np.array(g.scaling)
     scal[:32] = rng.uniform(-4, -1, (32, 3))
     g = g.replace(scaling=jnp.asarray(scal))
     mask = np.asarray(size_mask_quantile(g, 0.5))

@@ -44,12 +44,20 @@ from .projection import Projected
 
 
 class Binning(NamedTuple):
-    gauss_id: jnp.ndarray      # [K_pad] source Gaussian per padded slot
+    slot_rank: jnp.ndarray     # [K_pad] depth rank of the instance per slot
+    order: jnp.ndarray         # [C] gaussian id at each depth rank
+    inv_order: jnp.ndarray     # [C] depth rank of each gaussian id
     live: jnp.ndarray          # [K_pad] bool: slot holds a real instance
     tile_start: jnp.ndarray    # [T] chunk-aligned start into padded layout
     tile_count: jnp.ndarray    # [T] real instance count per tile
     padded_total: jnp.ndarray  # scalar: #padded slots actually written
     n_dropped: jnp.ndarray     # instances lost to capacity overflow
+
+    @property
+    def gauss_id(self) -> jnp.ndarray:
+        """[K_pad] source Gaussian per slot (debug/tests; involves a scalar
+        gather — the hot path works purely in depth-rank space)."""
+        return jnp.where(self.live, self.order[self.slot_rank], 0)
 
 
 # Packed-instance row layout (shared with the Pallas kernels):
@@ -203,7 +211,7 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
         s_rank = s_rank[:K]
         invalid = s_tile == _INT32_MAX
         s_tile = jnp.where(invalid, num_tiles, s_tile)
-    s_gid = jnp.where(invalid, 0, order[s_rank].astype(jnp.int32))
+    s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
     # ---- per-tile ranges in the sorted buffer ----
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -238,53 +246,60 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     # Source instances are contiguous per chunk: one sliced gather of G-wide
     # rows from the sorted buffer instead of K_pad random lookups.
     src_start = jnp.clip(c_start + (slot[:, 0] - c_pstart), 0, K - 1)
-    s_gid_pad = jnp.concatenate([s_gid, jnp.zeros((G,), jnp.int32)])
-    chunk_gids = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(s_gid_pad, (s,), (G,)))(src_start)
-    pad_gid = jnp.where(live, chunk_gids, 0).reshape(-1)
+    s_rank_pad = jnp.concatenate([s_rank, jnp.zeros((G,), jnp.int32)])
+    chunk_ranks = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(s_rank_pad, (s,), (G,)))(src_start)
+    slot_rank = jnp.where(live, chunk_ranks, 0).reshape(-1)
     live = live.reshape(-1)
 
-    return Binning(gauss_id=pad_gid, live=live, tile_start=padded_start,
+    # inverse permutation of the depth order (rank of each gaussian id),
+    # computed by a small sort — never a scatter.
+    _, inv_order = jax.lax.sort(
+        (order.astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)), num_keys=1)
+
+    return Binning(slot_rank=slot_rank, order=order.astype(jnp.int32),
+                   inv_order=inv_order, live=live, tile_start=padded_start,
                    tile_count=count, padded_total=padded_total,
                    n_dropped=n_dropped)
 
 
 # ---------------------------------------------------------------------------
-# Instance packing with a scatter-free hand-written VJP.
+# Instance packing with a scatter-free hand-written VJP, in depth-rank space.
 #
-# Forward: inst[j, k] = attrs[gid[k], j] * live[k]  — one XLA gather.
-# XLA's automatic transpose of that gather is a scatter-add, which lowers to a
-# SERIAL loop on TPU; instead the backward sorts slots by Gaussian id and
-# reduces each Gaussian's (at most MAX_DUP) contiguous instances with a
-# bounded gather-sum: exact (no long-cumsum cancellation) and fully vector.
+# Forward: attrs are re-sorted once into depth order ([C,16] row gather),
+# then one [K_pad,16] row gather by `slot_rank` packs instances — no
+# per-element gathers anywhere (a TPU scalar gather reads a whole ~4KB tile
+# per element).  XLA's automatic transpose of a gather is a scatter-add,
+# which lowers to a SERIAL loop on TPU, hence the hand-written backward:
+# sort slots by rank, segment-sum each rank's (<= MAX_DUP) contributions via
+# a blocked prefix scan + boundary row gathers, and un-permute with
+# `inv_order`.
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def pack_instances(attrs: jnp.ndarray, gid: jnp.ndarray, live: jnp.ndarray,
-                   max_dup: int) -> jnp.ndarray:
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def pack_instances(attrs: jnp.ndarray, slot_rank: jnp.ndarray,
+                   live: jnp.ndarray, order: jnp.ndarray,
+                   inv_order: jnp.ndarray, max_dup: int) -> jnp.ndarray:
     """attrs [C, N_ROWS] per-Gaussian attributes -> inst [N_ROWS, K_pad]."""
-    return (attrs[gid] * live[:, None].astype(attrs.dtype)).T
+    attrs_sorted = attrs[order]
+    return (attrs_sorted[slot_rank] * live[:, None].astype(attrs.dtype)).T
 
 
-def _pack_fwd(attrs, gid, live, max_dup):
-    return pack_instances(attrs, gid, live, max_dup), (gid, live, attrs.shape[0])
+def _pack_fwd(attrs, slot_rank, live, order, inv_order, max_dup):
+    out = pack_instances(attrs, slot_rank, live, order, inv_order, max_dup)
+    return out, (slot_rank, live, inv_order, attrs.shape[0])
 
 
 def _pack_bwd(max_dup, res, g):
-    # TPU gather economics drive this implementation: a scalar gather reads a
-    # whole (~4KB) tile per element, so per-element random access is ~1000x
-    # more expensive than contiguous [*, 16] row gathers.  Everything below
-    # is sort / lane-cumsum / row-gather only (measured: 218ms -> ~5ms).
-    gid, live, C = res
-    K_pad = gid.shape[0]
-    key = jnp.where(live, gid, C)
+    slot_rank, live, inv_order, C = res
+    K_pad = slot_rank.shape[0]
+    key = jnp.where(live, slot_rank, C)
     iota = jnp.arange(K_pad, dtype=jnp.int32)
-    sorted_key, order = jax.lax.sort((key, iota), num_keys=1)
+    sorted_key, perm = jax.lax.sort((key, iota), num_keys=1)
     gT = jax.lax.optimization_barrier(g.T)         # materialize [K_pad, 16]
-    sorted_vals = gT[order]                        # one row gather
-    # inclusive prefix sums per attribute row (lane-direction Hillis-Steele
-    # doubling: log2(K) full-bandwidth passes — jnp.cumsum on a megasized
-    # axis lowers to a serial scan, ~140GB of traffic), then one relayout to
+    sorted_vals = gT[perm]                         # one row gather
+    # inclusive prefix sums per attribute row (lane-direction blocked scan:
+    # jnp.cumsum on a megasized axis lowers serially), then one relayout to
     # row-gatherable [K_pad+1, 16]
     csum = _cumsum_blocked_last(sorted_vals.T).T   # [K_pad, 16]
     csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
@@ -295,10 +310,10 @@ def _pack_bwd(max_dup, res, g):
     # Segment sum = prefix difference.  Segments hold at most MAX_DUP (<=64)
     # terms, so cancellation error is ~eps * |global prefix| — acceptable at
     # float32 for gradient use (validated against autodiff in tests).
-    d_attrs = csum[end] - csum[start]              # [C, 16] row gathers
-    zero_i = np.zeros(gid.shape, jax_dtypes.float0)
-    zero_b = np.zeros(live.shape, jax_dtypes.float0)
-    return d_attrs, zero_i, zero_b
+    d_rank = csum[end] - csum[start]               # [C, 16], rank space
+    d_attrs = d_rank[inv_order]                    # back to gaussian-id space
+    f0 = lambda a: np.zeros(a.shape, jax_dtypes.float0)
+    return (d_attrs, f0(slot_rank), f0(live), f0(inv_order), f0(inv_order))
 
 
 pack_instances.defvjp(_pack_fwd, _pack_bwd)

@@ -388,7 +388,7 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
                         radius_max=radius_max, row0=row0, col0=col0,
                         full_height=full_height, full_width=full_width)
-    K_pad = b.gauss_id.shape[0]
+    K_pad = b.slot_rank.shape[0]
     # binning rebases instance coordinates to the band, so the kernel always
     # rasterizes at local origin.
     op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K_pad,
@@ -410,7 +410,8 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
         proj.depth,
         jnp.ones_like(proj.depth),                 # ROW_ONE (* live -> mask)
     ] + [zeros] * (N_ROWS - 11), axis=1)           # [C, 16]
-    inst = B.pack_instances(attrs, b.gauss_id, b.live, max_dup)
+    inst = B.pack_instances(attrs, b.slot_rank, b.live, b.order, b.inv_order,
+                            max_dup)
     # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
     # chunk dim must be the major (untiled) one for Mosaic
     inst = inst.reshape(N_ROWS, K_pad // G, G).transpose(1, 0, 2)

@@ -106,3 +106,26 @@ def test_trainer_with_mesh(tmp_path):
     trainer.train(iterations=6)
     assert trainer.iteration == 6
     assert np.isfinite(trainer.train_losses[-1] if trainer.train_losses else 0.0)
+
+
+@requires_8
+def test_sharded_render_pallas_interpret():
+    """Band-sharded rendering through the PALLAS path (interpret mode) on the
+    virtual mesh must match the single-device golden render."""
+    cam = identity_camera(64, 64, 70.0)
+    gs = random_scene(40, seed=6)
+    golden = RenderSettings(image_height=64, image_width=64)
+    pallas = golden.replace(use_pallas=True, max_instances=4096,
+                            gaussian_chunk=32)
+    mesh = make_mesh(data=1, tile=2)
+    out_single = render(gs, cam, golden)
+    out_sharded = make_sharded_render(pallas, mesh)(gs, cam)
+    np.testing.assert_allclose(np.asarray(out_sharded["image"]),
+                               np.asarray(out_single["image"]), atol=3e-5)
+
+
+def test_make_global_mesh_single_host():
+    from mini3dgs_tpu.parallel.distributed import make_global_mesh
+    mesh = make_global_mesh()
+    assert set(mesh.axis_names) == {"data", "tile"}
+    assert mesh.shape["data"] * mesh.shape["tile"] <= len(jax.devices())

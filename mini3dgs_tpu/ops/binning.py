@@ -95,7 +95,12 @@ def _cumsum_blocked_last(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     xb = xp.reshape(x.shape[:-1] + (nb, block))
     within = _cumsum_doubling_last(xb)
     totals = within[..., -1]
-    offsets = _cumsum_doubling_last(totals) - totals   # exclusive block offsets
+    # exclusive block offsets by SHIFT, not inclusive-minus-self: the kernel's
+    # unwritten d_inst tail can hold NaN garbage, and NaN - NaN = NaN would
+    # poison block 0 (clean prefixes must stay clean).
+    inc = _cumsum_doubling_last(totals)
+    offsets = jnp.concatenate(
+        [jnp.zeros_like(inc[..., :1]), inc[..., :-1]], axis=-1)
     out = (within + offsets[..., None]).reshape(x.shape[:-1] + (n + pad,))
     return out[..., :n]
 

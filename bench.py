@@ -71,14 +71,24 @@ def main():
 
     vs_baseline = 1.0
     if on_tpu:
+        # Baseline = the reference-semantics golden XLA renderer on the same
+        # chip.  Its dense [pixels x gaussians] autodiff does not fit at the
+        # headline size, so the throughput ratio is measured at 400^2 / 25K
+        # (both paths, identical workload) — a conservative proxy, since the
+        # tiled kernels' advantage grows with scene size.
         try:
-            g_step, g_params = build(width=width, height=height, n=100_000,
-                                     capacity=2 ** 17, use_pallas=False,
-                                     max_instances=2 ** 20)
+            p_step, p_params = build(width=400, height=400, n=25_000,
+                                     capacity=2 ** 15, use_pallas=True,
+                                     max_instances=2 ** 18)
+            p_dt = time_step(p_step, p_params, iters=5, warmup=2)
+            g_step, g_params = build(width=400, height=400, n=25_000,
+                                     capacity=2 ** 15, use_pallas=False,
+                                     max_instances=2 ** 18)
             g_dt = time_step(g_step, g_params, iters=3, warmup=1)
-            vs_baseline = g_dt / dt
-        except Exception:
-            pass
+            vs_baseline = g_dt / p_dt
+        except Exception as e:
+            print(f"baseline comparison failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "fwd+bwd render Mpixels/s/chip (800x800, 100K gaussians)",

@@ -323,6 +323,9 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
             out_shape=jax.ShapeDtypeStruct((num_tiles, N_ACC, P), jnp.float32),
             grid_spec=fwd_grid,
             interpret=interpret,
+            # tiles are independent: megacore chips may split the grid
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
         )(tile_start, tile_count, inst)
 
     bwd_grid = pltpu.PrefetchScalarGridSpec(
@@ -347,7 +350,9 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                                            jnp.float32),
             grid_spec=bwd_grid,
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            # per-tile d_inst slices are disjoint, so the grid is parallel
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, dimension_semantics=("parallel",)),
         )(tile_start, tile_count, inst, gout, oraw)
 
     @jax.custom_vjp

@@ -102,7 +102,11 @@ def rasterize_pixels(px: jnp.ndarray, py: jnp.ndarray,
                   for k, v in arrays.items()}
     n_chunks = (C + pad) // chunk
 
+    @jax.checkpoint
     def body(carry, ck):
+        # remat: the [pixels, chunk] intermediates are recomputed in the
+        # backward pass instead of being saved per scan step (without this,
+        # autodiff residuals are O(pixels * gaussians) — tens of GB).
         T, rgb, A, D = carry
         cval = ck["val"]
         if tile_bounds is not None:

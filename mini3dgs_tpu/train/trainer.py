@@ -252,7 +252,10 @@ class GaussianTrainer:
             return {}
         psnrs, ssims = [], []
         for cam in cams:
-            out = render(self.state.gaussians, cam, self.settings)
+            st = self.settings
+            if (cam.height != st.image_height or cam.width != st.image_width):
+                st = st.replace(image_height=cam.height, image_width=cam.width)
+            out = render(self.state.gaussians, cam, st)
             psnrs.append(float(psnr_fn(out["image"], cam.image)))
             ssims.append(float(ssim_fn(out["image"], cam.image)))
         return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}

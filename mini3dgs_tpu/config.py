@@ -77,6 +77,7 @@ class TrainingConfig:
     capacity: int = 2 ** 17          # Gaussian slot-pool capacity (static shape under jit)
     max_instances: int = 2 ** 20     # capacity of the (tile, depth)-key instance buffer
     gaussian_chunk: int = 256        # Gaussians per VMEM chunk in the raster kernel
+    max_dup_per_axis: int = 0        # 0 = exact bound from radius_max; >0 shrinks the candidate sort
     mesh_data: int = 1               # camera/data-parallel mesh axis size
     mesh_tile: int = 1               # tile-parallel mesh axis size
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path

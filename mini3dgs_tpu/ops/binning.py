@@ -137,7 +137,8 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
                   max_instances: int, chunk: int,
                   radius_max: float = 50.0,
                   row0=0, col0=0,
-                  full_height: int = None, full_width: int = None) -> Binning:
+                  full_height: int = None, full_width: int = None,
+                  max_dup_per_axis: int = 0) -> Binning:
     """Bin into the [H, W] viewport whose top-left pixel sits at (row0, col0)
     of a full_height x full_width image.  AABBs are computed and clamped in
     GLOBAL coordinates (exactly like the unsharded reference, including the
@@ -152,8 +153,13 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     tiles_x = -(-W // tile_size)
     tiles_y = -(-H // tile_size)
     num_tiles = tiles_x * tiles_y
-    # Static per-axis duplication bound from the projection radius clamp.
+    # Static per-axis duplication bound: from the projection radius clamp by
+    # default (exact for any scene), or the user's tighter `max_dup_per_axis`
+    # (candidate-grid and sort cost scale with its square; AABBs wider than
+    # the bound get clamped and the loss is counted in n_dropped).
     per_axis = (2 * math.ceil(radius_max) + 1 + tile_size - 1) // tile_size + 1
+    if max_dup_per_axis > 0:
+        per_axis = min(per_axis, max_dup_per_axis)
     per_axis = min(per_axis, max(tiles_x, tiles_y))
     MAX_DUP = per_axis * per_axis
     # Key packing: tile * C + depth_rank fits int32 for typical configs; for
@@ -196,7 +202,13 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     # ---- 3. one sort = compaction + (tile, rank) ordering ----
     K = max_instances
     n_valid = jnp.sum(cand_valid.astype(jnp.int32))
-    n_dropped = jnp.maximum(n_valid - K, 0)
+    # instances lost because an AABB exceeds the per-axis duplication bound
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    lost = jnp.where(ok, span_x * span_y
+                     - jnp.minimum(span_x, per_axis)
+                     * jnp.minimum(span_y, per_axis), 0)
+    n_dropped = jnp.maximum(n_valid - K, 0) + lost.sum()
     if packed_key:
         # The key embeds the depth rank, and rank indexes the depth-sorted
         # order, so the source Gaussian id is recoverable AFTER the sort

@@ -377,7 +377,8 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                     tile_size: int = 16, max_instances: int = 2 ** 18,
                     gaussian_chunk: int = 256, row0=0, col0=0,
                     full_height: int = None, full_width: int = None,
-                    radius_max: float = 50.0, interpret=None) -> dict:
+                    radius_max: float = 50.0, max_dup_per_axis: int = 0,
+                    interpret=None) -> dict:
     """Full Pallas raster path: binning -> fused tile kernel -> epilogue.
     Differentiable w.r.t. `proj` fields (instance packing is an XLA gather,
     whose transpose scatter-adds the kernel's per-instance gradients).
@@ -392,7 +393,8 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     G = gaussian_chunk
     b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
                         radius_max=radius_max, row0=row0, col0=col0,
-                        full_height=full_height, full_width=full_width)
+                        full_height=full_height, full_width=full_width,
+                        max_dup_per_axis=max_dup_per_axis)
     K_pad = b.slot_rank.shape[0]
     # binning rebases instance coordinates to the band, so the kernel always
     # rasterizes at local origin.

@@ -44,6 +44,9 @@ class RenderSettings:
     use_pallas: bool = struct.field(pytree_node=False, default=False)
     max_instances: int = struct.field(pytree_node=False, default=2 ** 18)
     gaussian_chunk: int = struct.field(pytree_node=False, default=256)
+    # 0 = derive from radius_max (exact); >0 trades completeness of huge
+    # splats for a (value/8)^2-smaller candidate sort (drops counted)
+    max_dup_per_axis: int = struct.field(pytree_node=False, default=0)
     # Tile-sharding offsets: this invocation renders rows [row0, row0+H).
     row0: int = struct.field(pytree_node=False, default=0)
     col0: int = struct.field(pytree_node=False, default=0)
@@ -73,6 +76,7 @@ def render(gaussians: Gaussians, camera: Camera,
                               max_instances=settings.max_instances,
                               gaussian_chunk=settings.gaussian_chunk,
                               radius_max=settings.radius_max,
+                              max_dup_per_axis=settings.max_dup_per_axis,
                               row0=settings.row0, col0=settings.col0)
     else:
         out = raster_ref.rasterize_image(

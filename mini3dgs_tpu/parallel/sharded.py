@@ -59,6 +59,7 @@ def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
                               max_instances=settings.max_instances,
                               gaussian_chunk=settings.gaussian_chunk,
                               radius_max=settings.radius_max,
+                              max_dup_per_axis=settings.max_dup_per_axis,
                               row0=row0, col0=0,
                               full_height=H, full_width=W)
     else:

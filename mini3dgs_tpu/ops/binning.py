@@ -132,7 +132,7 @@ def _tile_bounds(means2d, radius, H, W, tile_size):
 
 @partial(jax.jit, static_argnames=("H", "W", "tile_size", "max_instances",
                                    "chunk", "radius_max", "full_height",
-                                   "full_width"))
+                                   "full_width", "max_dup_per_axis"))
 def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
                   max_instances: int, chunk: int,
                   radius_max: float = 50.0,

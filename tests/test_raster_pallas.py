@@ -153,3 +153,40 @@ def test_pallas_early_stop_consistency():
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
                                    err_msg=name)
+
+
+def test_max_dup_tight_bound_exact():
+    """When max_dup_per_axis covers every AABB span, results are identical to
+    the exact default bound and nothing is dropped."""
+    cam = identity_camera(48, 48, 70.0)
+    gs = random_scene(50, seed=9)
+    from mini3dgs_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(gs, cam)
+    import numpy as _np
+    r = _np.asarray(proj.radius)[_np.asarray(proj.visible)]
+    max_span = int(_np.ceil((2 * r.max() + 1) / 16)) + 1
+    st_exact = RenderSettings(image_height=48, image_width=48, use_pallas=True,
+                              max_instances=4096, gaussian_chunk=32)
+    st_tight = st_exact.replace(max_dup_per_axis=max_span)
+    out_a = render(gs, cam, st_exact)
+    out_b = render(gs, cam, st_tight)
+    np.testing.assert_allclose(np.asarray(out_b["image"]),
+                               np.asarray(out_a["image"]), atol=1e-6)
+
+
+def test_max_dup_clamp_counts_drops():
+    """A too-small bound drops instances and reports the count."""
+    cam = identity_camera(64, 64, 70.0)
+    # one huge gaussian covering many tiles
+    gs = make_gaussians([[0, 0, 1.0]], [[0.5, 0.5, 0.5]], [[1, 1, 1]], [0.9])
+    from mini3dgs_tpu.ops import binning
+    from mini3dgs_tpu.ops.projection import project_gaussians
+    proj = project_gaussians(gs, cam)
+    b_full = binning.bin_gaussians(proj, 64, 64, 16, 4096, 32)
+    b_tight = binning.bin_gaussians(proj, 64, 64, 16, 4096, 32,
+                                    max_dup_per_axis=1)
+    assert int(b_full.n_dropped) == 0
+    n_inst_full = int(np.asarray(b_full.tile_count).sum())
+    n_inst_tight = int(np.asarray(b_tight.tile_count).sum())
+    assert n_inst_tight < n_inst_full
+    assert int(b_tight.n_dropped) == n_inst_full - n_inst_tight

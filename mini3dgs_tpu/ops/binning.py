@@ -231,9 +231,12 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
     # ---- per-tile ranges in the sorted buffer ----
+    # (consecutive integer queries over sorted integer keys: one merge-style
+    # searchsorted yields both boundaries, see _pack_bwd)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(s_tile, tids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(s_tile, tids, side="right").astype(jnp.int32)
+    end = jnp.searchsorted(s_tile, tids, side="right",
+                           method="sort").astype(jnp.int32)
+    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
     count = end - start
 
     # ---- 4. chunk-aligned padded layout, as a pure gather ----
@@ -322,8 +325,14 @@ def _pack_bwd(max_dup, res, g):
     csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
                            axis=0)
     qs = jnp.arange(C, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_key, qs, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_key, qs, side="right").astype(jnp.int32)
+    # method="sort" turns the binary search into one merge-sort pass (the
+    # default scan method does 21 rounds of [C]-wide scalar gathers from the
+    # 1.25M key array — ~4KB tile read per element, tens of GB); and since
+    # queries are the consecutive integers 0..C-1 over integer keys,
+    # start[c] = end[c-1], so one call yields both boundaries.
+    end = jnp.searchsorted(sorted_key, qs, side="right",
+                           method="sort").astype(jnp.int32)
+    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
     # Segment sum = prefix difference.  Segments hold at most MAX_DUP (<=64)
     # terms, so cancellation error is ~eps * |global prefix| — acceptable at
     # float32 for gradient use (validated against autodiff in tests).

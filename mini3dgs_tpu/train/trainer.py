@@ -113,6 +113,49 @@ def _reset_opacity_step(state: TrainState):
     return state.replace(gaussians=reset_opacity(state.gaussians, 0.01))
 
 
+def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
+    """Re-pad the slot pool (and Adam moments) to a larger static capacity.
+
+    Host-driven and rare (occupancy-triggered), so the recompile it causes is
+    amortized over thousands of steps — the static-shape answer to the
+    reference's per-densify reallocation (SURVEY §7 hard part #3).
+    """
+    g = state.gaussians
+    old = g.capacity
+    assert new_capacity >= old
+
+    def pad(x, fill=0.0):
+        widths = [(0, new_capacity - old)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    new_g = Gaussians(
+        xyz=pad(g.xyz),
+        features_dc=pad(g.features_dc),
+        features_rest=pad(g.features_rest),
+        scaling=pad(g.scaling, -10.0),
+        rotation=jnp.concatenate(
+            [g.rotation, jnp.tile(jnp.array([[1.0, 0, 0, 0]], g.rotation.dtype),
+                                  (new_capacity - old, 1))]),
+        opacity=pad(g.opacity, -10.0),
+        alive=pad(g.alive, False),
+        xyz_gradient_accum=pad(g.xyz_gradient_accum),
+        denom=pad(g.denom),
+        max_radii2D=pad(g.max_radii2D),
+    )
+
+    def pad_moment(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old:
+            return pad(x)
+        return x
+
+    adam = state.opt_state[0]
+    new_adam = adam._replace(mu=jax.tree.map(pad_moment, adam.mu),
+                             nu=jax.tree.map(pad_moment, adam.nu))
+    return TrainState(gaussians=new_g,
+                      opt_state=(new_adam,) + tuple(state.opt_state[1:]),
+                      step=state.step)
+
+
 class GaussianTrainer:
     """High-level orchestrator with the reference GaussianTrainer's surface
     (trainer.py:12-89): setup / train / train_step / validate /
@@ -227,6 +270,13 @@ class GaussianTrainer:
                 self.state, dstats = self._densify_step(
                     self.state, sub, jnp.float32(self.scene_extent))
                 metrics.update(dstats)
+                # occupancy-triggered capacity growth (recompiles; rare)
+                if (int(dstats["n_alive"])
+                        > 0.85 * self.state.gaussians.capacity):
+                    self.state = grow_capacity(
+                        self.state, 2 * self.state.gaussians.capacity)
+                    self._train_steps = {}
+                    self._densify_step = make_densify_step(self.config)
             if (self.config.opacity_reset_interval > 0
                     and it % self.config.opacity_reset_interval == 0
                     and it <= self.config.densify_until_iter):

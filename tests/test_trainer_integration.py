@@ -81,3 +81,53 @@ def test_trainer_scene_extent():
                            capacity=64)
     ext = float(scene_extent_of(g))
     assert 1.0 < ext < 5.0
+
+
+def test_capacity_growth(tmp_path):
+    """grow_capacity preserves all state and training continues; the trainer
+    grows automatically when the pool fills during densification."""
+    import jax.numpy as jnp
+    from mini3dgs_tpu.ops.renderer import render as render_fn
+    from mini3dgs_tpu.train.trainer import grow_capacity
+
+    trainer = build_trainer(tmp_path, iterations=10)
+    trainer.train(iterations=3)
+    state = trainer.state
+    cam = trainer.train_cameras()[0]
+    img_before = np.asarray(render_fn(state.gaussians, cam, trainer.settings)["image"])
+
+    grown = grow_capacity(state, 512)
+    assert grown.gaussians.capacity == 512
+    assert int(grown.gaussians.num_alive()) == int(state.gaussians.num_alive())
+    img_after = np.asarray(render_fn(grown.gaussians, cam, trainer.settings)["image"])
+    np.testing.assert_allclose(img_after, img_before, atol=1e-6)
+    # Adam moments preserved for old slots, zero for new
+    mu_old = np.asarray(state.opt_state[0].mu["xyz"])
+    mu_new = np.asarray(grown.opt_state[0].mu["xyz"])
+    np.testing.assert_array_equal(mu_new[:256], mu_old)
+    np.testing.assert_array_equal(mu_new[256:], 0.0)
+    # trainer continues from the grown state
+    trainer.state = grown
+    trainer._train_steps = {}
+    m = trainer.train_step(cam)
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_trainer_auto_grows(tmp_path):
+    """Aggressive densification fills a tiny pool; trainer doubles capacity."""
+    trainer = build_trainer(tmp_path, iterations=30)
+    # shrink the pool: rebuild with capacity 128 and force heavy splits
+    import dataclasses
+    from mini3dgs_tpu.core.gaussians import create_from_random
+    import jax as _jax
+    cfg = dataclasses.replace(trainer.config, capacity=128,
+                              densify_grad_threshold=1e-9,
+                              densify_from_iter=1, densify_interval=2,
+                              densify_until_iter=100)
+    small = create_from_random(_jax.random.PRNGKey(0), 100, scene_extent=0.8,
+                               capacity=128)
+    t2 = GaussianTrainer(cfg, trainer.settings)
+    t2.setup(dataset=trainer.dataset, gaussians=small)
+    t2.train(iterations=12)
+    assert t2.state.gaussians.capacity >= 256, "pool did not grow"
+    assert np.isfinite(t2.train_losses[-1] if t2.train_losses else 0.0)

@@ -71,3 +71,90 @@ def gaussian_loss(rendered: jnp.ndarray, target: jnp.ndarray,
     d = dssim(rendered, target)
     total = (1.0 - lambda_dssim) * l1 + lambda_dssim * d
     return total, {"l1": l1, "dssim": d, "total_loss": total}
+
+
+# ---------------------------------------------------------------------------
+# Band-sharded loss with halo exchange (multi-chip path).
+#
+# The 11x11 SSIM window has radius 5, so each image band can compute its rows
+# of the SSIM map EXACTLY from a 5-row halo of (pred, target) exchanged with
+# its neighbors over ICI — 5*W*3*2 floats per boundary instead of the full
+# [3,H,W] all_gather (ROADMAP item: SSIM halo exchange).  `lax.ppermute`
+# delivers zeros to devices with no sender, which is exactly the reference's
+# zero 'same'-padding at the global image border (loss.py:25-28 semantics).
+# ---------------------------------------------------------------------------
+
+HALO = 5  # window_size // 2 for the fixed K=11 reference window
+
+
+def _blur_x_same_y_valid(img: jnp.ndarray, g1d: jnp.ndarray) -> jnp.ndarray:
+    """x-direction 'same' blur then y-direction 'valid' blur of [B,C,H,W].
+    On a band extended with HALO true neighbor rows (or zeros at the global
+    border) this equals the global 'same'-padded separable blur restricted
+    to the band's own rows."""
+    K = g1d.shape[0]
+    pad = K // 2
+    ch = img.shape[1]
+    kx = jnp.tile(g1d.reshape(1, 1, 1, K), (ch, 1, 1, 1))
+    ky = jnp.tile(g1d.reshape(1, 1, K, 1), (ch, 1, 1, 1))
+    dn = jax.lax.conv_dimension_numbers(img.shape, kx.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(img, kx, (1, 1), [(0, 0), (pad, pad)],
+                                       dimension_numbers=dn,
+                                       feature_group_count=ch)
+    out = jax.lax.conv_general_dilated(out, ky, (1, 1), [(0, 0), (0, 0)],
+                                       dimension_numbers=dn,
+                                       feature_group_count=ch)
+    return out
+
+
+def _halo_extend(band: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """[C,bh,W] -> [C,bh+2*HALO,W] with true neighbor rows over `axis_name`
+    (zeros at the ends, matching global zero padding)."""
+    n = jax.lax.axis_size(axis_name)
+    top, bot = band[:, :HALO], band[:, -HALO:]
+    if n == 1:
+        z = jnp.zeros_like(top)
+        return jnp.concatenate([z, band, z], axis=1)
+    # from previous band (i-1 -> i): its bottom rows become our top halo
+    prev_bot = jax.lax.ppermute(bot, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    # from next band (i+1 -> i): its top rows become our bottom halo
+    next_top = jax.lax.ppermute(top, axis_name,
+                                [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([prev_bot, band, next_top], axis=1)
+
+
+def gaussian_loss_banded(band_pred: jnp.ndarray, band_target: jnp.ndarray,
+                         full_height: int, axis_name: str = "tile",
+                         lambda_dssim: float = 0.2,
+                         window_size: int = 11
+                         ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Exact `gaussian_loss` over a band-sharded image, inside shard_map.
+
+    band_pred/band_target: this device's [3, band_h, W] rows.  Returns the
+    GLOBAL loss (psum'd over `axis_name`) — bit-equal (up to float reduction
+    order) to gaussian_loss on the gathered image."""
+    assert window_size == 11, "halo size is derived for the reference K=11"
+    C, bh, W = band_pred.shape
+    H = full_height
+    pred = _halo_extend(band_pred, axis_name)[None]
+    target = _halo_extend(band_target, axis_name)[None]
+    g1d = _gaussian_window(window_size)
+
+    mu_x = _blur_x_same_y_valid(pred, g1d)
+    mu_y = _blur_x_same_y_valid(target, g1d)
+    sigma_x = _blur_x_same_y_valid(pred ** 2, g1d) - mu_x ** 2
+    sigma_y = _blur_x_same_y_valid(target ** 2, g1d) - mu_y ** 2
+    sigma_xy = _blur_x_same_y_valid(pred * target, g1d) - mu_x * mu_y
+    ssim_map = ((2 * mu_x * mu_y + C1) * (2 * sigma_xy + C2)) / (
+        (mu_x ** 2 + mu_y ** 2 + C1) * (sigma_x + sigma_y + C2))
+    ssim_sum = jnp.clip(ssim_map, 0.0, 1.0).sum()
+    l1_sum = jnp.abs(band_pred - band_target).sum()
+
+    denom = C * H * W
+    l1 = jax.lax.psum(l1_sum, axis_name) / denom
+    ssim_mean = jax.lax.psum(ssim_sum, axis_name) / denom
+    d = 1.0 - ssim_mean
+    total = (1.0 - lambda_dssim) * l1 + lambda_dssim * d
+    return total, {"l1": l1, "dssim": d, "total_loss": total}

@@ -44,26 +44,35 @@ from .projection import Projected
 
 
 class Binning(NamedTuple):
-    slot_rank: jnp.ndarray     # [K_pad] depth rank of the instance per slot
+    s_rank: jnp.ndarray        # [K] depth rank of each COMPACT sorted instance
+    src_row: jnp.ndarray       # [K_pad] compact row each padded slot copies
     order: jnp.ndarray         # [C] gaussian id at each depth rank
     inv_order: jnp.ndarray     # [C] depth rank of each gaussian id
     live: jnp.ndarray          # [K_pad] bool: slot holds a real instance
+    rank_counts: jnp.ndarray   # [C] instances emitted per depth rank
     tile_start: jnp.ndarray    # [T] chunk-aligned start into padded layout
     tile_count: jnp.ndarray    # [T] real instance count per tile
     padded_total: jnp.ndarray  # scalar: #padded slots actually written
     n_dropped: jnp.ndarray     # instances lost to capacity overflow
 
     @property
+    def slot_rank(self) -> jnp.ndarray:
+        """[K_pad] depth rank per padded slot (debug/tests only: per-element
+        scalar gathers — the hot path carries the rank as a packed attribute
+        row instead, see pack_instances)."""
+        return jnp.where(self.live, self.s_rank[self.src_row], 0)
+
+    @property
     def gauss_id(self) -> jnp.ndarray:
-        """[K_pad] source Gaussian per slot (debug/tests; involves a scalar
-        gather — the hot path works purely in depth-rank space)."""
+        """[K_pad] source Gaussian per slot (debug/tests)."""
         return jnp.where(self.live, self.order[self.slot_rank], 0)
 
 
 # Packed-instance row layout (shared with the Pallas kernels):
 ROW_X, ROW_Y, ROW_QA, ROW_QB, ROW_QC, ROW_OP = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_DEPTH, ROW_ONE = 6, 7, 8, 9, 10
-N_ROWS = 16  # padded for clean sublane tiling; rows 11..15 unused
+ROW_RANK = 11  # depth rank as f32, set by pack_instances (bwd sort key)
+N_ROWS = 16  # padded for clean sublane tiling; rows 12..15 unused
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -231,13 +240,16 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
     # ---- per-tile ranges in the sorted buffer ----
-    # (consecutive integer queries over sorted integer keys: one merge-style
-    # searchsorted yields both boundaries, see _pack_bwd)
+    # method="scan" (binary search): 2500 queries x ~21 rounds of scalar
+    # gathers is ~0.3 ms on chip; method="sort" re-sorts keys+queries and
+    # measured 20x slower at this query count.
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    end = jnp.searchsorted(s_tile, tids, side="right",
-                           method="sort").astype(jnp.int32)
+    end = jnp.searchsorted(s_tile, tids, side="right").astype(jnp.int32)
     start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
     count = end - start
+    # instances emitted per depth rank (bounds the pack-bwd segment sums;
+    # exact whenever n_dropped == 0 — see pack_instances docstring)
+    rank_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
 
     # ---- 4. chunk-aligned padded layout, as a pure gather ----
     G = chunk
@@ -263,22 +275,24 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     slot = jnp.arange(K_pad, dtype=jnp.int32).reshape(NC, G)
     offset_in_tile = slot - c_pstart[:, None]              # [NC, G]
     live = (offset_in_tile < c_count[:, None]) & (slot < padded_total)
-    # Source instances are contiguous per chunk: one sliced gather of G-wide
-    # rows from the sorted buffer instead of K_pad random lookups.
-    src_start = jnp.clip(c_start + (slot[:, 0] - c_pstart), 0, K - 1)
-    s_rank_pad = jnp.concatenate([s_rank, jnp.zeros((G,), jnp.int32)])
-    chunk_ranks = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(s_rank_pad, (s,), (G,)))(src_start)
-    slot_rank = jnp.where(live, chunk_ranks, 0).reshape(-1)
+    # Compact source row per padded slot — pure arithmetic, no gathers.
+    # Within a tile the padded slots copy consecutive compact rows, so the
+    # whole padded layout is ONE [K_pad,16] row gather in pack_instances
+    # (a TPU scalar gather reads a whole ~4KB tile per element; 16-float
+    # row gathers are fast).
+    src_row = jnp.clip(c_start[:, None] + offset_in_tile, 0, K - 1)
     live = live.reshape(-1)
+    src_row = src_row.reshape(-1)
 
     # inverse permutation of the depth order (rank of each gaussian id),
     # computed by a small sort — never a scatter.
     _, inv_order = jax.lax.sort(
         (order.astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)), num_keys=1)
 
-    return Binning(slot_rank=slot_rank, order=order.astype(jnp.int32),
-                   inv_order=inv_order, live=live, tile_start=padded_start,
+    return Binning(s_rank=s_rank, src_row=src_row,
+                   order=order.astype(jnp.int32),
+                   inv_order=inv_order, live=live, rank_counts=rank_counts,
+                   tile_start=padded_start,
                    tile_count=count, padded_total=padded_total,
                    n_dropped=n_dropped)
 
@@ -286,60 +300,88 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
 # ---------------------------------------------------------------------------
 # Instance packing with a scatter-free hand-written VJP, in depth-rank space.
 #
-# Forward: attrs are re-sorted once into depth order ([C,16] row gather),
-# then one [K_pad,16] row gather by `slot_rank` packs instances — no
-# per-element gathers anywhere (a TPU scalar gather reads a whole ~4KB tile
-# per element).  XLA's automatic transpose of a gather is a scatter-add,
-# which lowers to a SERIAL loop on TPU, hence the hand-written backward:
-# sort slots by rank, segment-sum each rank's (<= MAX_DUP) contributions via
-# a blocked prefix scan + boundary row gathers, and un-permute with
-# `inv_order`.
+# Forward: attrs are re-sorted once into depth order and stamped with their
+# depth rank in ROW_RANK ([C,16] row gather), compacted by `s_rank`
+# ([K,16] row gather), and expanded to the chunk-aligned padded layout by
+# `src_row` ([K_pad,16] row gather) — no per-element scalar gathers anywhere
+# (a TPU scalar gather reads a whole ~4KB tile per element).
+#
+# Backward: XLA's automatic transpose of a gather is a scatter-add, which
+# lowers to a SERIAL loop on TPU, hence hand-written: sort slots by the
+# ROW_RANK value saved in the forward output (2-op int sort), segment-sum
+# each rank's contributions via a blocked prefix scan + boundary row gathers
+# at analytically-known boundaries (cumsum of `rank_counts` — no
+# searchsorted), and un-permute with `inv_order`.  Boundaries are exact
+# whenever n_dropped == 0; under capacity overflow the dropped instances
+# never rendered (zero true gradient) but the segment boundaries shift, so
+# gradients of overflowing scenes are approximate — size max_instances to
+# the scene (Binning.n_dropped is observable).
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def pack_instances(attrs: jnp.ndarray, slot_rank: jnp.ndarray,
-                   live: jnp.ndarray, order: jnp.ndarray,
-                   inv_order: jnp.ndarray, max_dup: int) -> jnp.ndarray:
+@jax.custom_vjp
+def pack_instances(attrs: jnp.ndarray, s_rank: jnp.ndarray,
+                   src_row: jnp.ndarray, live: jnp.ndarray,
+                   rank_counts: jnp.ndarray, order: jnp.ndarray,
+                   inv_order: jnp.ndarray) -> jnp.ndarray:
     """attrs [C, N_ROWS] per-Gaussian attributes -> inst [N_ROWS, K_pad]."""
+    return _pack_run(attrs, s_rank, src_row, live, order)
+
+
+def _pack_run(attrs, s_rank, src_row, live, order):
+    C = attrs.shape[0]
     attrs_sorted = attrs[order]
-    return (attrs_sorted[slot_rank] * live[:, None].astype(attrs.dtype)).T
+    ranks = jnp.arange(C, dtype=jnp.float32)[:, None]
+    attrs_sorted = jnp.concatenate(
+        [attrs_sorted[:, :ROW_RANK], ranks, attrs_sorted[:, ROW_RANK + 1:]],
+        axis=1)
+    compact = attrs_sorted[s_rank]                 # [K, 16]
+    padded = compact[src_row] * live[:, None].astype(attrs.dtype)
+    return padded.T                                # [16, K_pad]
 
 
-def _pack_fwd(attrs, slot_rank, live, order, inv_order, max_dup):
-    out = pack_instances(attrs, slot_rank, live, order, inv_order, max_dup)
-    return out, (slot_rank, live, inv_order, attrs.shape[0])
+def _pack_fwd(attrs, s_rank, src_row, live, rank_counts, order, inv_order):
+    out = _pack_run(attrs, s_rank, src_row, live, order)
+    C = attrs.shape[0]
+    rank_padded = jnp.where(live, out[ROW_RANK].astype(jnp.int32), C)
+    return out, (rank_padded, rank_counts, inv_order, s_rank.shape[0])
 
 
-def _pack_bwd(max_dup, res, g):
-    slot_rank, live, inv_order, C = res
-    K_pad = slot_rank.shape[0]
-    key = jnp.where(live, slot_rank, C)
+def _pack_bwd(res, g):
+    rank_padded, rank_counts, inv_order, K = res
+    C = inv_order.shape[0]
+    K_pad = rank_padded.shape[0]
     iota = jnp.arange(K_pad, dtype=jnp.int32)
-    sorted_key, perm = jax.lax.sort((key, iota), num_keys=1)
+    sorted_key, perm = jax.lax.sort((rank_padded, iota), num_keys=1)
     gT = jax.lax.optimization_barrier(g.T)         # materialize [K_pad, 16]
     sorted_vals = gT[perm]                         # one row gather
+    # Dead slots (key C, sorted to the tail) may hold garbage/NaN from
+    # d_inst chunks the kernel never wrote (e.g. under capacity overflow,
+    # where count-derived boundaries can reach the tail): hard-mask them so
+    # the prefix sums stay clean (where, not multiply — NaN * 0 = NaN).
+    sorted_vals = jnp.where((sorted_key < C)[:, None], sorted_vals, 0.0)
     # inclusive prefix sums per attribute row (lane-direction blocked scan:
     # jnp.cumsum on a megasized axis lowers serially), then one relayout to
     # row-gatherable [K_pad+1, 16]
     csum = _cumsum_blocked_last(sorted_vals.T).T   # [K_pad, 16]
     csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
                            axis=0)
-    qs = jnp.arange(C, dtype=jnp.int32)
-    # method="sort" turns the binary search into one merge-sort pass (the
-    # default scan method does 21 rounds of [C]-wide scalar gathers from the
-    # 1.25M key array — ~4KB tile read per element, tens of GB); and since
-    # queries are the consecutive integers 0..C-1 over integer keys,
-    # start[c] = end[c-1], so one call yields both boundaries.
-    end = jnp.searchsorted(sorted_key, qs, side="right",
-                           method="sort").astype(jnp.int32)
-    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
+    # Segment boundaries are analytic: slots sorted by rank put rank r's
+    # instances at [end[r]-counts[r], end[r]) with end = inclusive cumsum of
+    # rank_counts (dead slots sort to the tail with key C) — no searchsorted.
+    end = jnp.clip(_cumsum_blocked_last(rank_counts.astype(jnp.int32)),
+                   0, K_pad)
+    start = jnp.clip(end - rank_counts, 0, K_pad)
     # Segment sum = prefix difference.  Segments hold at most MAX_DUP (<=64)
     # terms, so cancellation error is ~eps * |global prefix| — acceptable at
     # float32 for gradient use (validated against autodiff in tests).
     d_rank = csum[end] - csum[start]               # [C, 16], rank space
+    # ROW_RANK carries the (non-differentiable) rank stamp, not caller data.
+    d_rank = d_rank * (jnp.arange(N_ROWS) != ROW_RANK)[None, :].astype(
+        d_rank.dtype)
     d_attrs = d_rank[inv_order]                    # back to gaussian-id space
-    f0 = lambda a: np.zeros(a.shape, jax_dtypes.float0)
-    return (d_attrs, f0(slot_rank), f0(live), f0(inv_order), f0(inv_order))
+    f0 = lambda shape: np.zeros(shape, jax_dtypes.float0)
+    return (d_attrs, f0((K,)), f0((K_pad,)), f0((K_pad,)), f0((C,)),
+            f0((C,)), f0((C,)))
 
 
 pack_instances.defvjp(_pack_fwd, _pack_bwd)

@@ -395,7 +395,7 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                         radius_max=radius_max, row0=row0, col0=col0,
                         full_height=full_height, full_width=full_width,
                         max_dup_per_axis=max_dup_per_axis)
-    K_pad = b.slot_rank.shape[0]
+    K_pad = b.src_row.shape[0]
     # binning rebases instance coordinates to the band, so the kernel always
     # rasterizes at local origin.
     op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K_pad,
@@ -404,9 +404,6 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     # custom-VJP gather (binning.pack_instances).  Gradient hygiene for the
     # kernel's unwritten d_inst tail is automatic: the pack backward only
     # reads live slots, all of which lie inside the written region.
-    per_axis = (2 * math.ceil(radius_max) + 1 + tile_size - 1) // tile_size + 1
-    per_axis = min(per_axis, max(tiles_x, tiles_y))
-    max_dup = per_axis * per_axis
     zeros = jnp.zeros_like(proj.depth)
     attrs = jnp.stack([
         proj.means2d[:, 0] - jnp.float32(col0),    # ROW_X (band-local)
@@ -417,8 +414,8 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
         proj.depth,
         jnp.ones_like(proj.depth),                 # ROW_ONE (* live -> mask)
     ] + [zeros] * (N_ROWS - 11), axis=1)           # [C, 16]
-    inst = B.pack_instances(attrs, b.slot_rank, b.live, b.order, b.inv_order,
-                            max_dup)
+    inst = B.pack_instances(attrs, b.s_rank, b.src_row, b.live,
+                            b.rank_counts, b.order, b.inv_order)
     # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
     # chunk dim must be the major (untiled) one for Mosaic
     inst = inst.reshape(N_ROWS, K_pad // G, G).transpose(1, 0, 2)

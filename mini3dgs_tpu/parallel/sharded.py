@@ -30,7 +30,7 @@ from jax import shard_map
 from ..config import TrainingConfig
 from ..core.camera import Camera
 from ..core.gaussians import Gaussians
-from ..core.loss import gaussian_loss
+from ..core.loss import gaussian_loss, gaussian_loss_banded
 from ..ops import raster_ref
 from ..ops.projection import project_gaussians
 from ..ops.renderer import RenderSettings
@@ -94,10 +94,14 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
             g = state.gaussians.with_params(params)
             row0 = jax.lax.axis_index("tile") * band_h
             out = _render_band(g, camera, settings, band_h, row0)
-            # full image per device for the global SSIM window
-            full = jax.lax.all_gather(out["image"], "tile", axis=0, tiled=False)
-            full = full.transpose(1, 0, 2, 3).reshape(3, H, settings.image_width)
-            total, parts = gaussian_loss(full, camera.image, config.lambda_dssim)
+            # Banded loss with 5-row SSIM halo exchange over ICI — exact
+            # global L1 + D-SSIM without gathering the full image
+            # (core/loss.py: gaussian_loss_banded).
+            band_target = jax.lax.dynamic_slice(
+                camera.image, (0, row0, 0),
+                (3, band_h, settings.image_width))
+            total, parts = gaussian_loss_banded(
+                out["image"], band_target, H, "tile", config.lambda_dssim)
             total = jax.lax.pmean(total, "data")
             return total, parts
 

@@ -2,8 +2,10 @@
 (reference `/root/reference/src/core/loss.py`, with B11 — the missing
 return — fixed: dssim must be a real scalar loss)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mini3dgs_tpu.core.loss import dssim, gaussian_loss, ssim
 
@@ -50,3 +52,42 @@ def test_gaussian_loss_combination():
         float(total), 0.8 * float(parts["l1"]) + 0.2 * float(parts["dssim"]),
         rtol=1e-6)
     assert float(gaussian_loss(pred, pred)[0]) < 1e-4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_banded_loss_matches_global():
+    """gaussian_loss_banded (5-row SSIM halo exchange over a tile mesh) must
+    equal gaussian_loss on the full image — values AND gradients."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    from mini3dgs_tpu.core.loss import gaussian_loss, gaussian_loss_banded
+
+    rng = np.random.default_rng(7)
+    H = W = 64
+    pred = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("tile",))
+    bh = H // 4
+
+    def banded(p, t):
+        total, parts = gaussian_loss_banded(p, t, H, "tile")
+        return total, parts
+
+    f = shard_map(banded, mesh=mesh, in_specs=(P(None, "tile"), P(None, "tile")),
+                  out_specs=(P(), P()), check_vma=False)
+
+    total_b, parts_b = jax.jit(f)(pred, target)
+    total_g, parts_g = gaussian_loss(pred, target)
+    np.testing.assert_allclose(float(total_b), float(total_g), rtol=1e-6)
+    np.testing.assert_allclose(float(parts_b["dssim"]), float(parts_g["dssim"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(parts_b["l1"]), float(parts_g["l1"]),
+                               rtol=1e-6)
+
+    # gradients w.r.t. the prediction
+    g_b = jax.jit(jax.grad(lambda p: f(p, target)[0]))(pred)
+    g_g = jax.grad(lambda p: gaussian_loss(p, target)[0])(pred)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_g),
+                               atol=1e-7, rtol=1e-4)

@@ -190,3 +190,29 @@ def test_max_dup_clamp_counts_drops():
     n_inst_tight = int(np.asarray(b_tight.tile_count).sum())
     assert n_inst_tight < n_inst_full
     assert int(b_tight.n_dropped) == n_inst_full - n_inst_tight
+
+
+def test_overflow_gradients_finite():
+    """Under instance-capacity overflow (n_dropped > 0) gradients are
+    approximate (documented in pack_instances) but must stay FINITE — the
+    count-derived segment boundaries may reach d_inst tail chunks the kernel
+    never wrote, which the pack backward hard-masks."""
+    from __graft_entry__ import _scene
+    from mini3dgs_tpu.ops import binning
+    from mini3dgs_tpu.ops.projection import project_gaussians
+
+    g, cam = _scene(capacity=512, n=400, width=64, height=64)
+    st = RenderSettings(image_height=64, image_width=64, use_pallas=True,
+                        max_instances=128, gaussian_chunk=32)
+    b = binning.bin_gaussians(project_gaussians(g, cam), 64, 64, 16, 128, 32)
+    assert int(b.n_dropped) > 0  # the probe must actually overflow
+    target = jnp.zeros((3, 64, 64), jnp.float32)
+
+    def loss(params):
+        out = render(g.with_params(params), cam, st)
+        return jnp.abs(out["image"] - target).mean()
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(g.params())
+    assert np.isfinite(float(val))
+    for leaf in jax.tree.leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(leaf)))

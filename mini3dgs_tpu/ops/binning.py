@@ -139,6 +139,78 @@ def _tile_bounds(means2d, radius, H, W, tile_size):
     return tx0, tx1, ty0, ty1, degenerate
 
 
+def _per_axis_bound(radius_max, tile_size, max_dup_per_axis, tiles_x,
+                    tiles_y) -> int:
+    """Static per-axis duplication bound: from the projection radius clamp by
+    default (exact for any scene), or the user's tighter `max_dup_per_axis`
+    (candidate-grid and sort cost scale with its square; AABBs wider than
+    the bound get clamped and the loss is counted in n_dropped)."""
+    per_axis = (2 * math.ceil(radius_max) + 1 + tile_size - 1) // tile_size + 1
+    if max_dup_per_axis > 0:
+        per_axis = min(per_axis, max_dup_per_axis)
+    return min(per_axis, max(tiles_x, tiles_y))
+
+
+def _depth_order(proj: Projected) -> jnp.ndarray:
+    """Global depth sort of the Gaussians (stable ranks)."""
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    return jnp.argsort(depth_key)  # [C] gaussian ids in depth order
+
+
+def _candidates(proj, order, H, W, tile_size, per_axis, row0, col0,
+                full_height, full_width):
+    """Candidate tiles [C, MAX_DUP] for the [H, W] viewport at (row0, col0)
+    of the full image, in depth-rank order.  AABBs are computed and clamped
+    in GLOBAL coordinates (exactly like the unsharded reference, including
+    the toward-zero int truncation) and only then converted to viewport
+    tiles, so band-sharded rendering is bit-identical to single-device.
+    Returns (cand_tile [C,D] viewport-local, cand_valid [C,D],
+    lost [C] per-rank instances clamped away by the per_axis bound)."""
+    fh = full_height if full_height is not None else H
+    fw = full_width if full_width is not None else W
+    row0 = jnp.asarray(row0, jnp.int32)
+    col0 = jnp.asarray(col0, jnp.int32)
+    tiles_x = -(-W // tile_size)
+    tiles_y = -(-H // tile_size)
+    MAX_DUP = per_axis * per_axis
+
+    means2d = proj.means2d[order]
+    radius = proj.radius[order]
+    visible = proj.visible[order]
+
+    gx0, gx1, gy0, gy1, degen = _tile_bounds(means2d, radius, fh, fw,
+                                             tile_size)
+    # global tile bounds -> viewport-local
+    tx0 = gx0 - col0 // tile_size
+    tx1 = gx1 - col0 // tile_size
+    ty0 = gy0 - row0 // tile_size
+    ty1 = gy1 - row0 // tile_size
+    in_band = ((tx1 >= 0) & (tx0 <= tiles_x - 1)
+               & (ty1 >= 0) & (ty0 <= tiles_y - 1))
+    tx0 = jnp.clip(tx0, 0, tiles_x - 1)
+    tx1 = jnp.clip(tx1, 0, tiles_x - 1)
+    ty0 = jnp.clip(ty0, 0, tiles_y - 1)
+    ty1 = jnp.clip(ty1, 0, tiles_y - 1)
+    ok = visible & ~degen & in_band
+
+    d = jnp.arange(MAX_DUP, dtype=jnp.int32)
+    ddx = (d % per_axis)[None, :]
+    ddy = (d // per_axis)[None, :]
+    cand_tx = tx0[:, None] + ddx
+    cand_ty = ty0[:, None] + ddy
+    cand_valid = (ok[:, None] & (cand_tx <= tx1[:, None])
+                  & (cand_ty <= ty1[:, None]))
+    cand_tile = cand_ty * tiles_x + cand_tx
+
+    # instances lost because an AABB exceeds the per-axis duplication bound
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    lost = jnp.where(ok, span_x * span_y
+                     - jnp.minimum(span_x, per_axis)
+                     * jnp.minimum(span_y, per_axis), 0)
+    return cand_tile, cand_valid, lost
+
+
 @partial(jax.jit, static_argnames=("H", "W", "tile_size", "max_instances",
                                    "chunk", "radius_max", "full_height",
                                    "full_width", "max_dup_per_axis"))
@@ -155,68 +227,26 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     so band-sharded rendering is bit-identical to single-device.  row0/col0
     may be traced (lax.axis_index) values but must be tile_size multiples."""
     C = proj.means2d.shape[0]
-    fh = full_height if full_height is not None else H
-    fw = full_width if full_width is not None else W
-    row0 = jnp.asarray(row0, jnp.int32)
-    col0 = jnp.asarray(col0, jnp.int32)
     tiles_x = -(-W // tile_size)
     tiles_y = -(-H // tile_size)
     num_tiles = tiles_x * tiles_y
-    # Static per-axis duplication bound: from the projection radius clamp by
-    # default (exact for any scene), or the user's tighter `max_dup_per_axis`
-    # (candidate-grid and sort cost scale with its square; AABBs wider than
-    # the bound get clamped and the loss is counted in n_dropped).
-    per_axis = (2 * math.ceil(radius_max) + 1 + tile_size - 1) // tile_size + 1
-    if max_dup_per_axis > 0:
-        per_axis = min(per_axis, max_dup_per_axis)
-    per_axis = min(per_axis, max(tiles_x, tiles_y))
+    per_axis = _per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                               tiles_x, tiles_y)
     MAX_DUP = per_axis * per_axis
     # Key packing: tile * C + depth_rank fits int32 for typical configs; for
     # very large capacity x tile products fall back to a two-operand
     # lexicographic sort (same ordering, ~2x sort cost).
     packed_key = (num_tiles + 1) * C < 2 ** 31
 
-    # ---- 1. global depth sort of the Gaussians (stable ranks) ----
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key)  # [C] gaussian ids in depth order
-    means2d = proj.means2d[order]
-    radius = proj.radius[order]
-    visible = proj.visible[order]
-
-    gx0, gx1, gy0, gy1, degen = _tile_bounds(means2d, radius, fh, fw,
-                                             tile_size)
-    # global tile bounds -> band-local
-    tx0 = gx0 - col0 // tile_size
-    tx1 = gx1 - col0 // tile_size
-    ty0 = gy0 - row0 // tile_size
-    ty1 = gy1 - row0 // tile_size
-    in_band = (tx1 >= 0) & (tx0 <= tiles_x - 1) & (ty1 >= 0) & (ty0 <= tiles_y - 1)
-    tx0 = jnp.clip(tx0, 0, tiles_x - 1)
-    tx1 = jnp.clip(tx1, 0, tiles_x - 1)
-    ty0 = jnp.clip(ty0, 0, tiles_y - 1)
-    ty1 = jnp.clip(ty1, 0, tiles_y - 1)
-    ok = visible & ~degen & in_band
-
-    # ---- 2. candidate instances [C, MAX_DUP] with composite int32 keys ----
-    d = jnp.arange(MAX_DUP, dtype=jnp.int32)
-    ddx = (d % per_axis)[None, :]
-    ddy = (d // per_axis)[None, :]
-    cand_tx = tx0[:, None] + ddx
-    cand_ty = ty0[:, None] + ddy
-    cand_valid = (ok[:, None] & (cand_tx <= tx1[:, None])
-                  & (cand_ty <= ty1[:, None]))
-    cand_tile = cand_ty * tiles_x + cand_tx
+    order = _depth_order(proj)
+    (cand_tile, cand_valid, lost) = _candidates(
+        proj, order, H, W, tile_size, per_axis, row0, col0,
+        full_height, full_width)
     rank = jnp.arange(C, dtype=jnp.int32)[:, None]
 
-    # ---- 3. one sort = compaction + (tile, rank) ordering ----
+    # ---- one sort = compaction + (tile, rank) ordering ----
     K = max_instances
     n_valid = jnp.sum(cand_valid.astype(jnp.int32))
-    # instances lost because an AABB exceeds the per-axis duplication bound
-    span_x = tx1 - tx0 + 1
-    span_y = ty1 - ty0 + 1
-    lost = jnp.where(ok, span_x * span_y
-                     - jnp.minimum(span_x, per_axis)
-                     * jnp.minimum(span_y, per_axis), 0)
     n_dropped = jnp.maximum(n_valid - K, 0) + lost.sum()
     if packed_key:
         # The key embeds the depth rank, and rank indexes the depth-sorted
@@ -239,7 +269,118 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
         s_tile = jnp.where(invalid, num_tiles, s_tile)
     s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
-    # ---- per-tile ranges in the sorted buffer ----
+    rank_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    return _layout(s_tile, s_rank, order, rank_counts, num_tiles, K, chunk,
+                   C, n_dropped)
+
+
+def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
+                          max_instances: int, chunk: int, axis_name: str,
+                          n_shards: int, radius_max: float = 50.0,
+                          full_height: int = None, full_width: int = None,
+                          max_dup_per_axis: int = 0,
+                          route_capacity: int = None) -> Binning:
+    """Gauss-sharded binning: the distributed (tile‖rank)-key sort over the
+    mesh (SURVEY §2.5's sharded-sort obligation).  Must be called inside
+    shard_map with `axis_name` of size `n_shards`; device i owns image band
+    i (rows [i*H, (i+1)*H) of the full image) AND depth-rank shard i.
+
+    Each device sorts only its 1/n of the candidate keys (global tile ids),
+    slices the per-band segments of its sorted stream (bands are contiguous
+    key ranges), routes them with ONE all_to_all over ICI, and merges the n
+    received depth-ordered segments with a local sort.  Results are
+    identical to the replicated `bin_gaussians` of the same band whenever
+    nothing is dropped (tests enforce this); under per-pair route-capacity
+    overflow drops are counted in n_dropped.
+
+    The replicated path sorts C*MAX_DUP keys on EVERY device (an Amdahl
+    floor as tile devices grow); here each device sorts C*MAX_DUP/n + ~2K.
+    """
+    C = proj.means2d.shape[0]
+    assert C % n_shards == 0, "capacity must divide over the gauss shards"
+    Cs = C // n_shards
+    fh = full_height if full_height is not None else H * n_shards
+    fw = full_width if full_width is not None else W
+    assert fh == H * n_shards, "bands must tile the full image height"
+    gtx = -(-fw // tile_size)
+    gty = -(-fh // tile_size)
+    num_tiles_band = (H // tile_size) * gtx
+    total_tiles = gtx * gty
+    per_axis = _per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                               gtx, gty)
+    MAX_DUP = per_axis * per_axis
+    assert (total_tiles + 1) * C < 2 ** 31, (
+        "sharded binning requires packed (tile*C + rank) int32 keys")
+    K = max_instances
+    G = chunk
+    Q = route_capacity if route_capacity else max(2 * (K // n_shards), G)
+
+    i = jax.lax.axis_index(axis_name)
+    order = _depth_order(proj)
+    # Candidates with GLOBAL tile ids (full-image viewport).
+    cand_tile, cand_valid, lost = _candidates(
+        proj, order, fh, fw, tile_size, per_axis, 0, 0, fh, fw)
+    rank = jnp.arange(C, dtype=jnp.int32)[:, None]
+    cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
+
+    # ---- local sort of this device's rank shard ----
+    local = jax.lax.dynamic_slice(cand_key, (i * Cs, 0), (Cs, MAX_DUP))
+    s_local = jax.lax.sort(local.reshape(-1))          # [Cs * MAX_DUP]
+
+    # ---- per-band segments (bands are contiguous global-tile-id ranges) --
+    bkeys = (jnp.arange(n_shards + 1, dtype=jnp.int32)
+             * (num_tiles_band * C))
+    bounds = jnp.searchsorted(s_local, bkeys, side="left").astype(jnp.int32)
+    pad = jnp.full((Q,), _INT32_MAX, jnp.int32)
+    s_pad = jnp.concatenate([s_local, pad])
+    segs = []
+    drops = []
+    for b in range(n_shards):
+        seg = jax.lax.dynamic_slice(s_pad, (bounds[b],), (Q,))
+        idx = bounds[b] + jnp.arange(Q, dtype=jnp.int32)
+        segs.append(jnp.where(idx < bounds[b + 1], seg, _INT32_MAX))
+        drops.append(jnp.maximum(bounds[b + 1] - bounds[b] - Q, 0))
+    send = jnp.stack(segs)                              # [n, Q]
+    send_drops = jnp.stack(drops)                       # [n]
+
+    # ---- ONE all_to_all over ICI routes every band's instances home ----
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
+                              tiled=True)               # [n, Q]
+    route_drops = jnp.sum(jax.lax.all_to_all(
+        send_drops, axis_name, split_axis=0, concat_axis=0, tiled=True))
+
+    # ---- merge the n sorted segments (single local sort of n*Q keys) ----
+    merged = jax.lax.sort(recv.reshape(-1))
+    nQ = merged.shape[0]
+    # same static length as the replicated path: min(K, total candidates)
+    L = min(K, C * MAX_DUP)
+    if nQ < L:
+        merged = jnp.concatenate(
+            [merged, jnp.full((L - nQ,), _INT32_MAX, jnp.int32)])
+    s_key = merged[:L]
+    invalid = s_key == _INT32_MAX
+    s_tile = jnp.where(invalid, num_tiles_band,
+                       s_key // C - i * num_tiles_band)
+    s_rank = jnp.where(invalid, 0, s_key % C).astype(jnp.int32)
+
+    # ---- band-restricted per-rank counts (exact wrt the emitted set) ----
+    band_lo = i * num_tiles_band
+    in_my_band = (cand_valid & (cand_tile >= band_lo)
+                  & (cand_tile < band_lo + num_tiles_band))
+    rank_counts = jnp.sum(in_my_band.astype(jnp.int32), axis=1)
+    n_valid_band = rank_counts.sum()
+    n_dropped = (jnp.maximum(n_valid_band - K, 0) + route_drops
+                 + lost.sum())
+
+    return _layout(s_tile, s_rank, order, rank_counts, num_tiles_band, K, G,
+                   C, n_dropped)
+
+
+def _layout(s_tile, s_rank, order, rank_counts, num_tiles, K, G, C,
+            n_dropped) -> Binning:
+    """Per-tile ranges + chunk-aligned padded layout from the sorted
+    (tile, rank) instance stream.  Shared by the replicated and the
+    gauss-sharded binning paths."""
     # method="scan" (binary search): 2500 queries x ~21 rounds of scalar
     # gathers is ~0.3 ms on chip; method="sort" re-sorts keys+queries and
     # measured 20x slower at this query count.
@@ -247,12 +388,8 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     end = jnp.searchsorted(s_tile, tids, side="right").astype(jnp.int32)
     start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
     count = end - start
-    # instances emitted per depth rank (bounds the pack-bwd segment sums;
-    # exact whenever n_dropped == 0 — see pack_instances docstring)
-    rank_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
 
-    # ---- 4. chunk-aligned padded layout, as a pure gather ----
-    G = chunk
+    # ---- chunk-aligned padded layout, as pure arithmetic ----
     padded_count = ((count + G - 1) // G) * G
     padded_start = (jnp.cumsum(padded_count) - padded_count).astype(jnp.int32)
     padded_total = padded_start[-1] + padded_count[-1]

@@ -175,6 +175,9 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
 def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
                 dinst_hbm, chunk_ref, dchunk_ref, sem, wsem,
                 *, tile_size, tiles_x, G, row0, col0):
+    # dchunk_ref/wsem are double-buffered [2, ...]: the write DMA of chunk i
+    # overlaps the compute of chunk i+1 (waiting per chunk serialized the
+    # whole backward sweep on DMA latency).
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -259,11 +262,16 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
             d_cmat[0:4, :],                        # ROW_R..ROW_DEPTH
             jnp.zeros((N_ROWS - 10, G), jnp.float32),
         ], axis=0)
-        dchunk_ref[:] = d_chunk
-        wr = pltpu.make_async_copy(
-            dchunk_ref, dinst_hbm.at[chunk0 + ci], wsem)
-        wr.start()
-        wr.wait()
+        slot = jax.lax.rem(ci, 2)
+        # reuse of this slot: its write from chunk ci-2 must have landed
+        @pl.when(ci >= 2)
+        def _():
+            pltpu.make_async_copy(dchunk_ref.at[slot],
+                                  dinst_hbm.at[chunk0 + ci - 2],
+                                  wsem.at[slot]).wait()
+        dchunk_ref[slot] = d_chunk
+        pltpu.make_async_copy(dchunk_ref.at[slot], dinst_hbm.at[chunk0 + ci],
+                              wsem.at[slot]).start()
 
         T = T * cprod[:, -1:]
         prefix = incl[:, -1:]
@@ -283,12 +291,29 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     def _():
         dma(stop_ci).wait()
 
+    # Drain the (up to two) in-flight gradient writes before their buffers
+    # are reused by the zero-fill below.
+    @pl.when(stop_ci >= 1)
+    def _():
+        pltpu.make_async_copy(dchunk_ref.at[jax.lax.rem(stop_ci - 1, 2)],
+                              dinst_hbm.at[chunk0 + stop_ci - 1],
+                              wsem.at[jax.lax.rem(stop_ci - 1, 2)]).wait()
+
+    @pl.when(stop_ci >= 2)
+    def _():
+        pltpu.make_async_copy(dchunk_ref.at[jax.lax.rem(stop_ci, 2)],
+                              dinst_hbm.at[chunk0 + stop_ci - 2],
+                              wsem.at[jax.lax.rem(stop_ci, 2)]).wait()
+
     # Chunks skipped by early exit still own slots in d_inst: write zeros so
     # the pack backward sees exact zero gradients (not garbage).
+    @pl.when(stop_ci < n_chunks)
+    def _():
+        dchunk_ref[0] = jnp.zeros((N_ROWS, G), jnp.float32)
+
     def zbody(ci):
-        dchunk_ref[:] = jnp.zeros((N_ROWS, G), jnp.float32)
         wr = pltpu.make_async_copy(
-            dchunk_ref, dinst_hbm.at[chunk0 + ci], wsem)
+            dchunk_ref.at[0], dinst_hbm.at[chunk0 + ci], wsem.at[0])
         wr.start()
         wr.wait()
         return ci + 1
@@ -338,9 +363,9 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
-                        pltpu.VMEM((N_ROWS, G), jnp.float32),
+                        pltpu.VMEM((2, N_ROWS, G), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.SemaphoreType.DMA((2,))],
     )
 
     def bwd_call(inst, tile_start, tile_count, gout, oraw):
@@ -378,23 +403,41 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                     gaussian_chunk: int = 256, row0=0, col0=0,
                     full_height: int = None, full_width: int = None,
                     radius_max: float = 50.0, max_dup_per_axis: int = 0,
+                    shard_axis: str = None, n_shards: int = 1,
                     interpret=None) -> dict:
     """Full Pallas raster path: binning -> fused tile kernel -> epilogue.
     Differentiable w.r.t. `proj` fields (instance packing is an XLA gather,
     whose transpose scatter-adds the kernel's per-instance gradients).
 
     row0/col0 (traced OK, tile_size multiples) select a band of a
-    full_height x full_width image — the tile-sharded path."""
+    full_height x full_width image — the tile-sharded path.  With
+    `shard_axis`/`n_shards` (inside shard_map, horizontal bands, col0=0)
+    the candidate sort itself is sharded over the mesh and instances are
+    routed home with one all_to_all (binning.bin_gaussians_sharded)."""
     if interpret is None:
         interpret = _interpret()
     tiles_x = -(-W // tile_size)
     tiles_y = -(-H // tile_size)
     num_tiles = tiles_x * tiles_y
     G = gaussian_chunk
-    b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
-                        radius_max=radius_max, row0=row0, col0=col0,
-                        full_height=full_height, full_width=full_width,
-                        max_dup_per_axis=max_dup_per_axis)
+    C = proj.means2d.shape[0]
+    fh = full_height if full_height is not None else H
+    fw = full_width if full_width is not None else W
+    gtiles = (-(-fh // tile_size)) * (-(-fw // tile_size))
+    use_sharded = (shard_axis is not None and n_shards > 1
+                   and C % n_shards == 0 and (gtiles + 1) * C < 2 ** 31
+                   and fh == H * n_shards)
+    if use_sharded:
+        b = B.bin_gaussians_sharded(proj, H, W, tile_size, max_instances, G,
+                                    shard_axis, n_shards,
+                                    radius_max=radius_max,
+                                    full_height=fh, full_width=fw,
+                                    max_dup_per_axis=max_dup_per_axis)
+    else:
+        b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
+                            radius_max=radius_max, row0=row0, col0=col0,
+                            full_height=full_height, full_width=full_width,
+                            max_dup_per_axis=max_dup_per_axis)
     K_pad = b.src_row.shape[0]
     # binning rebases instance coordinates to the band, so the kernel always
     # rasterizes at local origin.

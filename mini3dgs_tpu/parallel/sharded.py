@@ -40,11 +40,13 @@ from ..train.trainer import TrainState
 
 
 def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
-                 band_h: int, row0) -> dict:
+                 band_h: int, row0, shard_axis: str = None,
+                 n_shards: int = 1) -> dict:
     """Render rows [row0, row0+band_h) of the full image.  `row0` may be a
     traced value (lax.axis_index * band_h).  All AABB math stays in global
     coordinates inside binning, so bands compose bit-identically to a
-    single-device render."""
+    single-device render.  With shard_axis/n_shards the candidate sort is
+    itself sharded over the mesh (one all_to_all routes instances home)."""
     proj = project_gaussians(
         g, camera,
         radius_min=settings.radius_min, radius_max=settings.radius_max,
@@ -61,7 +63,8 @@ def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
                               radius_max=settings.radius_max,
                               max_dup_per_axis=settings.max_dup_per_axis,
                               row0=row0, col0=0,
-                              full_height=H, full_width=W)
+                              full_height=H, full_width=W,
+                              shard_axis=shard_axis, n_shards=n_shards)
     else:
         out = raster_ref.rasterize_image(
             proj.means2d, proj.conic, proj.depth,
@@ -93,7 +96,8 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
         def loss_fn(params):
             g = state.gaussians.with_params(params)
             row0 = jax.lax.axis_index("tile") * band_h
-            out = _render_band(g, camera, settings, band_h, row0)
+            out = _render_band(g, camera, settings, band_h, row0,
+                               shard_axis="tile", n_shards=n_tile)
             # Banded loss with 5-row SSIM halo exchange over ICI — exact
             # global L1 + D-SSIM without gathering the full image
             # (core/loss.py: gaussian_loss_banded).
@@ -148,7 +152,8 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
 
     def spmd_render(g: Gaussians, camera: Camera):
         row0 = jax.lax.axis_index("tile") * band_h
-        out = _render_band(g, camera, settings, band_h, row0)
+        out = _render_band(g, camera, settings, band_h, row0,
+                           shard_axis="tile", n_shards=n_tile)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
                  for k, v in out.items()}
         return {k: v.transpose(1, 0, 2, 3).reshape(v.shape[1], H, W)

@@ -129,3 +129,48 @@ def test_make_global_mesh_single_host():
     mesh = make_global_mesh()
     assert set(mesh.axis_names) == {"data", "tile"}
     assert mesh.shape["data"] * mesh.shape["tile"] <= len(jax.devices())
+
+
+@requires_8
+def test_sharded_binning_matches_replicated_bands():
+    """bin_gaussians_sharded (rank-sharded sort + all_to_all routing) must
+    produce exactly the replicated per-band binning when nothing drops."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mini3dgs_tpu.ops import binning
+    from mini3dgs_tpu.ops.projection import project_gaussians
+
+    n = 4
+    H = W = 64
+    band_h = H // n
+    cam = identity_camera(H, W, 70.0)
+    gs = random_scene(60, seed=11)  # capacity divisible by n
+    proj = project_gaussians(gs, cam)
+    mesh = make_mesh(data=1, tile=n)
+
+    def sharded(proj):
+        b = binning.bin_gaussians_sharded(
+            proj, band_h, W, 16, 1024, 32, "tile", n,
+            full_height=H, full_width=W, route_capacity=1024)
+        return (b.s_rank, b.src_row, b.live, b.rank_counts, b.tile_start,
+                b.tile_count, b.n_dropped[None])
+
+    f = shard_map(sharded, mesh=mesh,
+                  in_specs=(P(),), out_specs=P("tile"), check_vma=False)
+    out = jax.jit(f)(proj)
+
+    for i in range(n):
+        ref = binning.bin_gaussians(proj, band_h, W, 16, 1024, 32,
+                                    row0=i * band_h, col0=0,
+                                    full_height=H, full_width=W)
+        got = jax.tree.map(lambda x: np.asarray(x).reshape(
+            (n, -1) + x.shape[1:])[i] if x.ndim else x, out)
+        assert int(ref.n_dropped) == 0
+        np.testing.assert_array_equal(got[0], np.asarray(ref.s_rank))
+        np.testing.assert_array_equal(got[1], np.asarray(ref.src_row))
+        np.testing.assert_array_equal(got[2], np.asarray(ref.live))
+        np.testing.assert_array_equal(got[3], np.asarray(ref.rank_counts))
+        np.testing.assert_array_equal(got[4], np.asarray(ref.tile_start))
+        np.testing.assert_array_equal(got[5], np.asarray(ref.tile_count))
+        assert int(np.asarray(out[6]).reshape(n)[i]) == 0

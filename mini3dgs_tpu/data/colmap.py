@@ -43,6 +43,88 @@ class ColmapCamera:
             return float(self.params[0]), float(self.params[0])
         return float(self.params[0]), float(self.params[1])
 
+    def principal_point(self) -> Tuple[float, float]:
+        if self.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+                          "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+            return float(self.params[1]), float(self.params[2])
+        return float(self.params[2]), float(self.params[3])
+
+    def distortion(self) -> np.ndarray:
+        """(k1, k2, p1, p2) radial/tangential coefficients; zeros where the
+        model has none.  Fisheye models are not supported here (undistort
+        with COLMAP's image_undistorter first)."""
+        p = self.params
+        if self.model in ("SIMPLE_PINHOLE", "PINHOLE"):
+            return np.zeros(4)
+        if self.model == "SIMPLE_RADIAL":
+            return np.array([p[3], 0.0, 0.0, 0.0])
+        if self.model == "RADIAL":
+            return np.array([p[3], p[4], 0.0, 0.0])
+        if self.model == "OPENCV":
+            return np.array([p[4], p[5], p[6], p[7]])
+        raise ValueError(f"unsupported distortion model {self.model!r}; "
+                         "run COLMAP image_undistorter for fisheye inputs")
+
+    @property
+    def has_distortion(self) -> bool:
+        try:
+            return bool(np.any(self.distortion() != 0.0))
+        except ValueError:
+            return True
+
+
+def distort_normalized(cam: ColmapCamera, xy: np.ndarray) -> np.ndarray:
+    """Apply the camera's distortion to NORMALIZED image coords [N,2]
+    (COLMAP convention: radial k1,k2 then tangential p1,p2)."""
+    k1, k2, p1, p2 = cam.distortion()
+    x, y = xy[:, 0], xy[:, 1]
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return np.stack([xd, yd], axis=-1)
+
+
+def undistort_image(image: np.ndarray, cam: ColmapCamera
+                    ) -> Tuple[np.ndarray, "ColmapCamera"]:
+    """Resample `image` [H,W,C] (or [H,W]) onto an ideal PINHOLE camera with
+    the same focal/principal point (the standard 3DGS preprocessing step the
+    reference leaves to COLMAP's image_undistorter; scripts/preprocess.py
+    exposes it).  Inverse mapping: for every undistorted pixel, distort its
+    normalized coordinate and bilinearly sample the source."""
+    H, W = image.shape[:2]
+    fx, fy = cam.focal()
+    cx, cy = cam.principal_point()
+    if not cam.has_distortion:
+        pin = ColmapCamera(cam.id, "PINHOLE", cam.width, cam.height,
+                           np.array([fx, fy, cx, cy]))
+        return image, pin
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    xn = (xs + 0.5 - cx) / fx
+    yn = (ys + 0.5 - cy) / fy
+    xy = distort_normalized(cam, np.stack([xn.ravel(), yn.ravel()], -1))
+    sx = (xy[:, 0] * fx + cx - 0.5).reshape(H, W)
+    sy = (xy[:, 1] * fy + cy - 0.5).reshape(H, W)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    wx = (sx - x0)[..., None] if image.ndim == 3 else (sx - x0)
+    wy = (sy - y0)[..., None] if image.ndim == 3 else (sy - y0)
+    inside = ((x0 >= 0) & (x0 + 1 <= W - 1) & (y0 >= 0) & (y0 + 1 <= H - 1))
+    x0c = np.clip(x0, 0, W - 2)
+    y0c = np.clip(y0, 0, H - 2)
+    img = image.astype(np.float64)
+    out = ((1 - wy) * ((1 - wx) * img[y0c, x0c] + wx * img[y0c, x0c + 1])
+           + wy * ((1 - wx) * img[y0c + 1, x0c] + wx * img[y0c + 1, x0c + 1]))
+    mask = inside if image.ndim == 2 else inside[..., None]
+    out = np.where(mask, out, 0.0).astype(image.dtype
+                                          if image.dtype != np.uint8
+                                          else np.float64)
+    if image.dtype == np.uint8:
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    pin = ColmapCamera(cam.id, "PINHOLE", cam.width, cam.height,
+                       np.array([fx, fy, cx, cy]))
+    return out, pin
+
 
 @dataclass
 class ColmapImage:

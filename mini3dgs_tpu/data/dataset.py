@@ -68,18 +68,40 @@ class CameraDataset:
         raise NotImplementedError
 
 
+def _scale_intrinsics(cc, w: int, h: int) -> np.ndarray:
+    """COLMAP camera params rescaled to a resized image (focal and principal
+    point scale; distortion coefficients act on normalized coords)."""
+    sx, sy = w / cc.width, h / cc.height
+    p = np.asarray(cc.params, dtype=np.float64).copy()
+    if cc.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL"):
+        p[0] *= sx
+        p[1] *= sx
+        p[2] *= sy
+    else:
+        p[0] *= sx
+        p[1] *= sy
+        p[2] *= sx
+        p[3] *= sy
+    return p
+
+
 class COLMAPDataset(CameraDataset):
     """COLMAP sparse-model dataset (reference dataset.py:30-61, implemented;
-    supports both text and binary models)."""
+    supports both text and binary models; optional on-load undistortion of
+    SIMPLE_RADIAL/RADIAL/OPENCV models onto ideal pinhole cameras)."""
 
     def __init__(self, data_path: str, images_path: str = "images",
                  sparse_path: str = "sparse/0", downscale: int = 1,
-                 llff_hold: int = 8):
+                 llff_hold: int = 8, undistort: bool = False):
         super().__init__(data_path)
         self.images_path = self.data_path / images_path
         self.sparse_path = self.data_path / sparse_path
         self.downscale = downscale
         self.llff_hold = llff_hold
+        # Resample distorted COLMAP models (SIMPLE_RADIAL/RADIAL/OPENCV)
+        # onto ideal pinhole cameras at load time (colmap.undistort_image);
+        # off by default — most 3DGS pipelines pre-undistort with COLMAP.
+        self.undistort = undistort
 
     def _read_model(self):
         sp = self.sparse_path
@@ -107,6 +129,16 @@ class COLMAPDataset(CameraDataset):
                 # focal scales with any resize baked into the image files
                 fx = fx * w / cc.width
                 fy = fy * h / cc.height
+                if self.undistort and cc.has_distortion:
+                    # resample onto the ideal pinhole camera ([C,H,W] CHW
+                    # float -> HWC for the numpy resampler and back)
+                    hwc = np.transpose(np.asarray(image), (1, 2, 0))
+                    scaled = colmap.ColmapCamera(
+                        cc.id, cc.model, w, h,
+                        _scale_intrinsics(cc, w, h))
+                    hwc, _ = colmap.undistort_image(hwc, scaled)
+                    image = np.ascontiguousarray(
+                        np.transpose(hwc, (2, 0, 1)))
             cameras.append(Camera.create(
                 uid=iid, R=R, T=T,
                 FoVx=fov_from_focal(fx, w), FoVy=fov_from_focal(fy, h),

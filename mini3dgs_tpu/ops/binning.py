@@ -489,25 +489,30 @@ def _pack_bwd(res, g):
     K_pad = rank_padded.shape[0]
     iota = jnp.arange(K_pad, dtype=jnp.int32)
     sorted_key, perm = jax.lax.sort((rank_padded, iota), num_keys=1)
+    # At most K live slots exist, and they sort to the front (dead slots
+    # carry key C): the gather and the prefix scan only need the first K
+    # sorted positions.
+    perm = perm[:K]
+    sorted_key = sorted_key[:K]
     gT = jax.lax.optimization_barrier(g.T)         # materialize [K_pad, 16]
-    sorted_vals = gT[perm]                         # one row gather
-    # Dead slots (key C, sorted to the tail) may hold garbage/NaN from
-    # d_inst chunks the kernel never wrote (e.g. under capacity overflow,
-    # where count-derived boundaries can reach the tail): hard-mask them so
-    # the prefix sums stay clean (where, not multiply — NaN * 0 = NaN).
+    sorted_vals = gT[perm]                         # one row gather [K, 16]
+    # Dead slots may hold garbage/NaN from d_inst chunks the kernel never
+    # wrote (e.g. under capacity overflow, where count-derived boundaries
+    # can reach the tail): hard-mask them so the prefix sums stay clean
+    # (where, not multiply — NaN * 0 = NaN).
     sorted_vals = jnp.where((sorted_key < C)[:, None], sorted_vals, 0.0)
     # inclusive prefix sums per attribute row (lane-direction blocked scan:
     # jnp.cumsum on a megasized axis lowers serially), then one relayout to
-    # row-gatherable [K_pad+1, 16]
-    csum = _cumsum_blocked_last(sorted_vals.T).T   # [K_pad, 16]
+    # row-gatherable [K+1, 16]
+    csum = _cumsum_blocked_last(sorted_vals.T).T   # [K, 16]
     csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
                            axis=0)
     # Segment boundaries are analytic: slots sorted by rank put rank r's
     # instances at [end[r]-counts[r], end[r]) with end = inclusive cumsum of
     # rank_counts (dead slots sort to the tail with key C) — no searchsorted.
     end = jnp.clip(_cumsum_blocked_last(rank_counts.astype(jnp.int32)),
-                   0, K_pad)
-    start = jnp.clip(end - rank_counts, 0, K_pad)
+                   0, K)
+    start = jnp.clip(end - rank_counts, 0, K)
     # Segment sum = prefix difference.  Segments hold at most MAX_DUP (<=64)
     # terms, so cancellation error is ~eps * |global prefix| — acceptable at
     # float32 for gradient use (validated against autodiff in tests).

@@ -226,7 +226,14 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         u = jax.lax.dot_general(gout, cmat, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [P, G]
         uw = u * wgt
-        incl = _cumsum_last(uw) + prefix           # inclusive prefix of u*w
+        # inclusive prefix of u*w along G as ONE MXU matmul with the
+        # upper-triangular ones matrix (the VPU doubling scan competed with
+        # the alpha math; the MXU is otherwise idle here)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        tri = (ii <= jj).astype(jnp.float32)
+        incl = jax.lax.dot_general(uw, tri, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) + prefix
         S = total - incl                           # suffix sum over i > j
         d_alpha = u * T_before * gate - S / jnp.maximum(one_minus, 1e-6)
 

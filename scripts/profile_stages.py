@@ -74,8 +74,8 @@ def main():
             p.opacity, p.color[:, 0], p.color[:, 1], p.color[:, 2],
             p.depth, jnp.ones_like(p.depth)] + [zeros] * (B.N_ROWS - 11),
             axis=1)
-        inst = B.pack_instances(attrs, b.slot_rank, b.live, b.order,
-                                b.inv_order, 25)
+        inst = B.pack_instances(attrs, b.s_rank, b.src_row, b.live,
+                                b.rank_counts, b.order, b.inv_order)
         return inst
 
     def f_pack(params):

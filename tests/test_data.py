@@ -184,3 +184,60 @@ def test_gaussian_ply_roundtrip(tmp_path):
                                    np.asarray(getattr(g, field))[alive],
                                    atol=1e-6, err_msg=field)
     assert int(g2.num_alive()) == 20
+
+
+def test_colmap_distortion_models():
+    """Distortion accessors + undistortion resampler (ROADMAP: COLMAP
+    distortion models beyond the pinhole family)."""
+    from mini3dgs_tpu.data import colmap as cm
+
+    pin = cm.ColmapCamera(0, "PINHOLE", 64, 48,
+                          np.array([60.0, 60.0, 32.0, 24.0]))
+    assert not pin.has_distortion
+    rad = cm.ColmapCamera(1, "SIMPLE_RADIAL", 64, 48,
+                          np.array([60.0, 32.0, 24.0, 0.08]))
+    assert rad.has_distortion
+    np.testing.assert_allclose(rad.distortion(), [0.08, 0, 0, 0])
+    ocv = cm.ColmapCamera(2, "OPENCV", 64, 48,
+                          np.array([60.0, 61.0, 32.0, 24.0,
+                                    0.1, -0.01, 1e-3, -2e-3]))
+    np.testing.assert_allclose(ocv.distortion(), [0.1, -0.01, 1e-3, -2e-3])
+
+    # distort_normalized matches the COLMAP radial+tangential formula
+    xy = np.array([[0.1, -0.2], [0.0, 0.0], [-0.3, 0.25]])
+    k1, k2, p1, p2 = ocv.distortion()
+    x, y = xy[:, 0], xy[:, 1]
+    r2 = x * x + y * y
+    ex = x * (1 + k1 * r2 + k2 * r2 ** 2) + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    ey = y * (1 + k1 * r2 + k2 * r2 ** 2) + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    got = cm.distort_normalized(ocv, xy)
+    np.testing.assert_allclose(got, np.stack([ex, ey], -1), rtol=1e-12)
+
+    # zero-distortion camera: undistort is the identity (and returns PINHOLE)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (48, 64, 3)).astype(np.float32)
+    zero = cm.ColmapCamera(3, "RADIAL", 64, 48,
+                           np.array([60.0, 32.0, 24.0, 0.0, 0.0]))
+    out, newcam = cm.undistort_image(img, zero)
+    np.testing.assert_allclose(out, img)
+    assert newcam.model == "PINHOLE"
+
+    # resampling correctness on a smooth analytic image: the undistorted
+    # pixel p must sample the source at f*distort((p-c)/f)+c
+    H, W = 48, 64
+    def g(px, py):
+        return np.sin(px * 0.2) + np.cos(py * 0.3)
+    ys, xs = np.mgrid[0:H, 0:W]
+    src = g(xs + 0.0, ys + 0.0).astype(np.float64)
+    out, _ = cm.undistort_image(src, rad)
+    fx, fy = rad.focal()
+    cx, cy = rad.principal_point()
+    xn = (xs + 0.5 - cx) / fx
+    yn = (ys + 0.5 - cy) / fy
+    d = cm.distort_normalized(rad, np.stack([xn.ravel(), yn.ravel()], -1))
+    sx = (d[:, 0] * fx + cx - 0.5).reshape(H, W)
+    sy = (d[:, 1] * fy + cy - 0.5).reshape(H, W)
+    inside = (sx >= 1) & (sx < W - 2) & (sy >= 1) & (sy < H - 2)
+    expected = g(sx, sy)
+    err = np.abs(out - expected)[inside]
+    assert err.max() < 2e-2  # bilinear error bound ~h^2/8*max|f""| ~ 0.011 here

@@ -17,13 +17,14 @@ sort + gather):
      bounded by the radius_max clamp, renderer.py:24-27) with a single int32
      key  tile_id * C + depth_rank  (invalid -> INT32_MAX).
   3. ONE `lax.sort` over the [C * MAX_DUP] candidates compacts and orders
-     them: the first K slots are the instance buffer, tile-major and
+     them: the first n_live slots are the instance buffer, tile-major and
      front-to-back within each tile.
-  4. The chunk-aligned padded layout (tile t starts at a multiple of the
-     kernel chunk G, so raster DMAs never cross tiles — what makes the
-     hand-written backward race-free) is a pure gather: each padded slot
-     computes which sorted instance it holds via searchsorted on the padded
-     starts.
+  4. The stream stays COMPACT (tile starts unaligned): the raster kernels
+     mask boundary-chunk lanes, and their backward resolves the boundary
+     write-sharing with a per-tile head side-buffer.  (An earlier
+     chunk-padded layout was race-free by construction but moved 8x phantom
+     bytes: TPU lane-pads [N,16] f32 arrays to [N,128], so its expansion
+     gather alone cost ~9 ms at the bench size.)
 
 This sort is the component that becomes a sharded multi-chip sort over ICI in
 the parallel path (each tile-band device sorts only its band's instances).
@@ -44,28 +45,32 @@ from .projection import Projected
 
 
 class Binning(NamedTuple):
-    s_rank: jnp.ndarray        # [K] depth rank of each COMPACT sorted instance
-    src_row: jnp.ndarray       # [K_pad] compact row each padded slot copies
+    """Compact binning result.  The instance stream is the first `n_live`
+    rows of the depth-rank array `s_rank`; tile t's instances are rows
+    [tile_start[t], tile_start[t] + tile_count[t]) — tile starts are NOT
+    chunk-aligned (the raster kernels mask boundary-chunk lanes instead;
+    a TPU [N,16] array is physically lane-padded to 128, so the former
+    chunk-padded layout moved 8x phantom bytes through every gather)."""
+
+    s_rank: jnp.ndarray        # [K] depth rank of each compact sorted instance
     order: jnp.ndarray         # [C] gaussian id at each depth rank
     inv_order: jnp.ndarray     # [C] depth rank of each gaussian id
-    live: jnp.ndarray          # [K_pad] bool: slot holds a real instance
     rank_counts: jnp.ndarray   # [C] instances emitted per depth rank
-    tile_start: jnp.ndarray    # [T] chunk-aligned start into padded layout
-    tile_count: jnp.ndarray    # [T] real instance count per tile
-    padded_total: jnp.ndarray  # scalar: #padded slots actually written
+    tile_start: jnp.ndarray    # [T] compact start row of each tile
+    tile_count: jnp.ndarray    # [T] instance count per tile
+    n_live: jnp.ndarray        # scalar: rows [0, n_live) hold real instances
     n_dropped: jnp.ndarray     # instances lost to capacity overflow
 
     @property
-    def slot_rank(self) -> jnp.ndarray:
-        """[K_pad] depth rank per padded slot (debug/tests only: per-element
-        scalar gathers — the hot path carries the rank as a packed attribute
-        row instead, see pack_instances)."""
-        return jnp.where(self.live, self.s_rank[self.src_row], 0)
+    def live(self) -> jnp.ndarray:
+        """[K] bool: row holds a real instance (debug/tests)."""
+        K = self.s_rank.shape[0]
+        return jnp.arange(K, dtype=jnp.int32) < self.n_live
 
     @property
     def gauss_id(self) -> jnp.ndarray:
-        """[K_pad] source Gaussian per slot (debug/tests)."""
-        return jnp.where(self.live, self.order[self.slot_rank], 0)
+        """[K] source Gaussian per compact row (debug/tests)."""
+        return jnp.where(self.live, self.order[self.s_rank], 0)
 
 
 # Packed-instance row layout (shared with the Pallas kernels):
@@ -149,6 +154,21 @@ def _per_axis_bound(radius_max, tile_size, max_dup_per_axis, tiles_x,
     if max_dup_per_axis > 0:
         per_axis = min(per_axis, max_dup_per_axis)
     return min(per_axis, max(tiles_x, tiles_y))
+
+
+def _stream_len(max_instances: int, n_cand: int, chunk: int) -> int:
+    """Static instance-stream length: min(capacity, candidates) rounded up
+    to a whole number of raster-kernel chunks."""
+    L = min(max_instances, n_cand)
+    return ((L + chunk - 1) // chunk) * chunk
+
+
+def _pad_to(x: jnp.ndarray, L: int, fill=_INT32_MAX) -> jnp.ndarray:
+    """Slice or INT32_MAX-pad a sorted 1-D stream to static length L."""
+    if x.shape[0] >= L:
+        return x[:L]
+    return jnp.concatenate(
+        [x, jnp.full((L - x.shape[0],), fill, x.dtype)])
 
 
 def _depth_order(proj: Projected) -> jnp.ndarray:
@@ -245,7 +265,9 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     rank = jnp.arange(C, dtype=jnp.int32)[:, None]
 
     # ---- one sort = compaction + (tile, rank) ordering ----
-    K = max_instances
+    # The stream length is min(max_instances, #candidates) rounded up to a
+    # whole number of kernel chunks (the raster op views it as [K//G, 16, G]).
+    K = _stream_len(max_instances, C * MAX_DUP, chunk)
     n_valid = jnp.sum(cand_valid.astype(jnp.int32))
     n_dropped = jnp.maximum(n_valid - K, 0) + lost.sum()
     if packed_key:
@@ -253,7 +275,7 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
         # order, so the source Gaussian id is recoverable AFTER the sort
         # (gid = order[key % C]) — no payload operand: minimum sort bandwidth.
         cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
-        s_key = jax.lax.sort(cand_key.reshape(-1))[:K]
+        s_key = _pad_to(jax.lax.sort(cand_key.reshape(-1)), K)
         invalid = s_key == _INT32_MAX
         s_tile = jnp.where(invalid, num_tiles, s_key // C)
         s_rank = s_key % C
@@ -263,15 +285,15 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
         cand_r = jnp.broadcast_to(rank, (C, MAX_DUP))
         s_tile, s_rank = jax.lax.sort(
             (cand_t.reshape(-1), cand_r.reshape(-1)), num_keys=2)
-        s_tile = s_tile[:K]
-        s_rank = s_rank[:K]
+        s_tile = _pad_to(s_tile, K)
+        s_rank = _pad_to(s_rank, K, 0)
         invalid = s_tile == _INT32_MAX
         s_tile = jnp.where(invalid, num_tiles, s_tile)
     s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
     rank_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
-    return _layout(s_tile, s_rank, order, rank_counts, num_tiles, K, chunk,
-                   C, n_dropped)
+    return _layout(s_tile, s_rank, order, rank_counts, num_tiles, C,
+                   n_dropped)
 
 
 def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
@@ -351,13 +373,10 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
 
     # ---- merge the n sorted segments (single local sort of n*Q keys) ----
     merged = jax.lax.sort(recv.reshape(-1))
-    nQ = merged.shape[0]
-    # same static length as the replicated path: min(K, total candidates)
-    L = min(K, C * MAX_DUP)
-    if nQ < L:
-        merged = jnp.concatenate(
-            [merged, jnp.full((L - nQ,), _INT32_MAX, jnp.int32)])
-    s_key = merged[:L]
+    # same static length as the replicated path: min(K, total candidates),
+    # rounded up to whole kernel chunks
+    L = _stream_len(K, C * MAX_DUP, G)
+    s_key = _pad_to(merged, L)
     invalid = s_key == _INT32_MAX
     s_tile = jnp.where(invalid, num_tiles_band,
                        s_key // C - i * num_tiles_band)
@@ -369,18 +388,19 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
                   & (cand_tile < band_lo + num_tiles_band))
     rank_counts = jnp.sum(in_my_band.astype(jnp.int32), axis=1)
     n_valid_band = rank_counts.sum()
-    n_dropped = (jnp.maximum(n_valid_band - K, 0) + route_drops
+    n_dropped = (jnp.maximum(n_valid_band - L, 0) + route_drops
                  + lost.sum())
 
-    return _layout(s_tile, s_rank, order, rank_counts, num_tiles_band, K, G,
-                   C, n_dropped)
+    return _layout(s_tile, s_rank, order, rank_counts, num_tiles_band, C,
+                   n_dropped)
 
 
-def _layout(s_tile, s_rank, order, rank_counts, num_tiles, K, G, C,
+def _layout(s_tile, s_rank, order, rank_counts, num_tiles, C,
             n_dropped) -> Binning:
-    """Per-tile ranges + chunk-aligned padded layout from the sorted
-    (tile, rank) instance stream.  Shared by the replicated and the
-    gauss-sharded binning paths."""
+    """Per-tile ranges of the sorted (tile, rank) compact instance stream.
+    Shared by the replicated and the gauss-sharded binning paths.  Invalid
+    (INT32_MAX-key) slots carry tile sentinel `num_tiles` and sort to the
+    contiguous tail, so end[last] == n_live."""
     # method="scan" (binary search): 2500 queries x ~21 rounds of scalar
     # gathers is ~0.3 ms on chip; method="sort" re-sorts keys+queries and
     # measured 20x slower at this query count.
@@ -388,49 +408,16 @@ def _layout(s_tile, s_rank, order, rank_counts, num_tiles, K, G, C,
     end = jnp.searchsorted(s_tile, tids, side="right").astype(jnp.int32)
     start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
     count = end - start
-
-    # ---- chunk-aligned padded layout, as pure arithmetic ----
-    padded_count = ((count + G - 1) // G) * G
-    padded_start = (jnp.cumsum(padded_count) - padded_count).astype(jnp.int32)
-    padded_total = padded_start[-1] + padded_count[-1]
-    K_pad = K + num_tiles * (G - 1) + G
-    K_pad = ((K_pad + G - 1) // G) * G  # whole number of kernel chunks
-
-    # Padded starts are G-aligned, so all slot bookkeeping factors through
-    # chunk granularity: per-chunk scalars broadcast over [NC, G] instead of
-    # per-slot scalar gathers (a TPU scalar gather reads a whole tile per
-    # element — the difference is tens of GB of traffic).
-    NC = K_pad // G
-    chunk_ids = jnp.arange(NC, dtype=jnp.int32)
-    chunk_tile = jnp.clip(
-        jnp.searchsorted(padded_start // G, chunk_ids,
-                         side="right").astype(jnp.int32) - 1,
-        0, num_tiles - 1)                                  # [NC]
-    c_pstart = padded_start[chunk_tile]                    # [NC] small gathers
-    c_count = count[chunk_tile]
-    c_start = start[chunk_tile]
-    slot = jnp.arange(K_pad, dtype=jnp.int32).reshape(NC, G)
-    offset_in_tile = slot - c_pstart[:, None]              # [NC, G]
-    live = (offset_in_tile < c_count[:, None]) & (slot < padded_total)
-    # Compact source row per padded slot — pure arithmetic, no gathers.
-    # Within a tile the padded slots copy consecutive compact rows, so the
-    # whole padded layout is ONE [K_pad,16] row gather in pack_instances
-    # (a TPU scalar gather reads a whole ~4KB tile per element; 16-float
-    # row gathers are fast).
-    src_row = jnp.clip(c_start[:, None] + offset_in_tile, 0, K - 1)
-    live = live.reshape(-1)
-    src_row = src_row.reshape(-1)
+    n_live = end[num_tiles - 1]
 
     # inverse permutation of the depth order (rank of each gaussian id),
     # computed by a small sort — never a scatter.
     _, inv_order = jax.lax.sort(
         (order.astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)), num_keys=1)
 
-    return Binning(s_rank=s_rank, src_row=src_row,
-                   order=order.astype(jnp.int32),
-                   inv_order=inv_order, live=live, rank_counts=rank_counts,
-                   tile_start=padded_start,
-                   tile_count=count, padded_total=padded_total,
+    return Binning(s_rank=s_rank, order=order.astype(jnp.int32),
+                   inv_order=inv_order, rank_counts=rank_counts,
+                   tile_start=start, tile_count=count, n_live=n_live,
                    n_dropped=n_dropped)
 
 
@@ -438,68 +425,67 @@ def _layout(s_tile, s_rank, order, rank_counts, num_tiles, K, G, C,
 # Instance packing with a scatter-free hand-written VJP, in depth-rank space.
 #
 # Forward: attrs are re-sorted once into depth order and stamped with their
-# depth rank in ROW_RANK ([C,16] row gather), compacted by `s_rank`
-# ([K,16] row gather), and expanded to the chunk-aligned padded layout by
-# `src_row` ([K_pad,16] row gather) — no per-element scalar gathers anywhere
-# (a TPU scalar gather reads a whole ~4KB tile per element).
+# depth rank in ROW_RANK ([C,16] row gather), then compacted by `s_rank`
+# (ONE [K,16] row gather) and relaid out as the raster kernels' chunked
+# [K//G, 16, G] stream.  There is no padded expansion: tile starts are
+# unaligned in the compact stream and the kernels mask boundary-chunk lanes
+# (a TPU [N,16] f32 array is physically lane-padded to [N,128], so the old
+# run-structured padded gather moved ~700MB for 64MB of payload).
 #
 # Backward: XLA's automatic transpose of a gather is a scatter-add, which
-# lowers to a SERIAL loop on TPU, hence hand-written: sort slots by the
-# ROW_RANK value saved in the forward output (2-op int sort), segment-sum
-# each rank's contributions via a blocked prefix scan + boundary row gathers
-# at analytically-known boundaries (cumsum of `rank_counts` — no
-# searchsorted), and un-permute with `inv_order`.  Boundaries are exact
-# whenever n_dropped == 0; under capacity overflow the dropped instances
-# never rendered (zero true gradient) but the segment boundaries shift, so
-# gradients of overflowing scenes are approximate — size max_instances to
-# the scene (Binning.n_dropped is observable).
+# lowers to a SERIAL loop on TPU, hence hand-written: sort compact rows by
+# depth rank (2-op int sort), segment-sum each rank's contributions via a
+# blocked prefix scan + boundary row gathers at analytically-known
+# boundaries (cumsum of `rank_counts` — no searchsorted), and un-permute
+# with `inv_order`.  Boundaries are exact whenever n_dropped == 0; under
+# capacity overflow the dropped instances never rendered (zero true
+# gradient) but the segment boundaries shift, so gradients of overflowing
+# scenes are approximate — size max_instances to the scene
+# (Binning.n_dropped is observable).
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
 def pack_instances(attrs: jnp.ndarray, s_rank: jnp.ndarray,
-                   src_row: jnp.ndarray, live: jnp.ndarray,
                    rank_counts: jnp.ndarray, order: jnp.ndarray,
-                   inv_order: jnp.ndarray) -> jnp.ndarray:
-    """attrs [C, N_ROWS] per-Gaussian attributes -> inst [N_ROWS, K_pad]."""
-    return _pack_run(attrs, s_rank, src_row, live, order)
+                   inv_order: jnp.ndarray, n_live: jnp.ndarray,
+                   chunk: int) -> jnp.ndarray:
+    """attrs [C, N_ROWS] per-Gaussian attributes -> inst [K//chunk, N_ROWS,
+    chunk] (the raster kernels' chunk-major stream)."""
+    return _pack_run(attrs, s_rank, order, chunk)
 
 
-def _pack_run(attrs, s_rank, src_row, live, order):
+def _pack_run(attrs, s_rank, order, G):
     C = attrs.shape[0]
+    K = s_rank.shape[0]
     attrs_sorted = attrs[order]
     ranks = jnp.arange(C, dtype=jnp.float32)[:, None]
     attrs_sorted = jnp.concatenate(
         [attrs_sorted[:, :ROW_RANK], ranks, attrs_sorted[:, ROW_RANK + 1:]],
         axis=1)
     compact = attrs_sorted[s_rank]                 # [K, 16]
-    padded = compact[src_row] * live[:, None].astype(attrs.dtype)
-    return padded.T                                # [16, K_pad]
+    # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
+    # chunk dim must be the major (untiled) one for Mosaic
+    return compact.T.reshape(N_ROWS, K // G, G).transpose(1, 0, 2)
 
 
-def _pack_fwd(attrs, s_rank, src_row, live, rank_counts, order, inv_order):
-    out = _pack_run(attrs, s_rank, src_row, live, order)
-    C = attrs.shape[0]
-    rank_padded = jnp.where(live, out[ROW_RANK].astype(jnp.int32), C)
-    return out, (rank_padded, rank_counts, inv_order, s_rank.shape[0])
+def _pack_fwd(attrs, s_rank, rank_counts, order, inv_order, n_live, chunk):
+    out = _pack_run(attrs, s_rank, order, chunk)
+    return out, (s_rank, rank_counts, inv_order, n_live)
 
 
-def _pack_bwd(res, g):
-    rank_padded, rank_counts, inv_order, K = res
+def _pack_bwd(chunk, res, g):
+    s_rank, rank_counts, inv_order, n_live = res
     C = inv_order.shape[0]
-    K_pad = rank_padded.shape[0]
-    iota = jnp.arange(K_pad, dtype=jnp.int32)
-    sorted_key, perm = jax.lax.sort((rank_padded, iota), num_keys=1)
-    # At most K live slots exist, and they sort to the front (dead slots
-    # carry key C): the gather and the prefix scan only need the first K
-    # sorted positions.
-    perm = perm[:K]
-    sorted_key = sorted_key[:K]
-    gT = jax.lax.optimization_barrier(g.T)         # materialize [K_pad, 16]
-    sorted_vals = gT[perm]                         # one row gather [K, 16]
-    # Dead slots may hold garbage/NaN from d_inst chunks the kernel never
-    # wrote (e.g. under capacity overflow, where count-derived boundaries
-    # can reach the tail): hard-mask them so the prefix sums stay clean
-    # (where, not multiply — NaN * 0 = NaN).
+    K = s_rank.shape[0]
+    iota = jnp.arange(K, dtype=jnp.int32)
+    # Dead tail rows (beyond n_live) carry sentinel key C: they sort to the
+    # back and are hard-masked below (their d values are garbage the kernel
+    # never wrote — where, not multiply: NaN * 0 = NaN).
+    key = jnp.where(iota < n_live, s_rank, C)
+    sorted_key, perm = jax.lax.sort((key, iota), num_keys=1)
+    gK = jax.lax.optimization_barrier(
+        g.transpose(1, 0, 2).reshape(N_ROWS, K).T)  # materialize [K, 16]
+    sorted_vals = gK[perm]                          # one row gather [K, 16]
     sorted_vals = jnp.where((sorted_key < C)[:, None], sorted_vals, 0.0)
     # inclusive prefix sums per attribute row (lane-direction blocked scan:
     # jnp.cumsum on a megasized axis lowers serially), then one relayout to
@@ -507,9 +493,9 @@ def _pack_bwd(res, g):
     csum = _cumsum_blocked_last(sorted_vals.T).T   # [K, 16]
     csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
                            axis=0)
-    # Segment boundaries are analytic: slots sorted by rank put rank r's
+    # Segment boundaries are analytic: rows sorted by rank put rank r's
     # instances at [end[r]-counts[r], end[r]) with end = inclusive cumsum of
-    # rank_counts (dead slots sort to the tail with key C) — no searchsorted.
+    # rank_counts — no searchsorted.
     end = jnp.clip(_cumsum_blocked_last(rank_counts.astype(jnp.int32)),
                    0, K)
     start = jnp.clip(end - rank_counts, 0, K)
@@ -522,8 +508,7 @@ def _pack_bwd(res, g):
         d_rank.dtype)
     d_attrs = d_rank[inv_order]                    # back to gaussian-id space
     f0 = lambda shape: np.zeros(shape, jax_dtypes.float0)
-    return (d_attrs, f0((K,)), f0((K_pad,)), f0((K_pad,)), f0((C,)),
-            f0((C,)), f0((C,)))
+    return (d_attrs, f0((K,)), f0((C,)), f0((C,)), f0((C,)), f0(()))
 
 
 pack_instances.defvjp(_pack_fwd, _pack_bwd)

@@ -6,8 +6,11 @@ CUDA extension `diff-gaussian-rasterization` in the canonical 3DGS ecosystem
 (SURVEY §2.4).
 
 Design (one grid cell per 16x16 image tile):
-  * the tile's depth-sorted instance slice (chunk-aligned by ops/binning.py)
-    is streamed from HBM into VMEM in fixed-size chunks;
+  * the tile's depth-sorted instance slice of the COMPACT sorted stream
+    (ops/binning.py) is streamed from HBM into VMEM in fixed-size chunks;
+    tile starts are unaligned, so boundary chunks are shared with neighbor
+    tiles and masked per lane (a chunk-padded layout would be race-free by
+    construction but moves 8x phantom bytes: TPU lane-pads [N,16] arrays);
   * per chunk, the [P pixels x G gaussians] quadratic form / exp / alpha math
     runs on the VPU; the per-chunk transmittance is an exact Hillis-Steele
     cumulative product (the vectorized equivalent of the sequential
@@ -21,9 +24,10 @@ Backward (custom VJP, original-3DGS style but replayed *front-to-back*):
   dL/dalpha_j = u_j*T_j*gate_j - S_j/(1-alpha_j), where u_j = <dOut, c_j> is
   one MXU matmul and the suffix sum S_j = <dOut, O_total> - prefix(u*w) needs
   only the saved forward output and a running prefix — no back-to-front pass,
-  no atomics: every instance belongs to exactly one tile, so per-instance
-  gradients are written to disjoint chunk-aligned slices and scattered back to
-  Gaussians by XLA's gather-transpose outside the kernel.
+  no atomics: each stream chunk has a unique primary tile that writes it;
+  shared boundary-chunk contributions go to a per-tile side buffer merged by
+  one XLA segment-sum, and per-rank gradients flow back to Gaussians through
+  the hand-written pack backward (binning.pack_instances).
 """
 
 from __future__ import annotations
@@ -64,6 +68,26 @@ def _cumprod_last(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _transmittance(one_minus: jnp.ndarray, T: jnp.ndarray):
+    """Per-chunk transmittance in log space with the prefix as ONE MXU
+    matmul against a strict upper-triangular ones matrix (the VPU doubling
+    cumprod was log2(G) full [P,G] passes competing with the alpha math;
+    the MXU is otherwise idle in the forward).  Returns
+    (T_before [P,G] — transmittance BEFORE each instance, T_new [P,1]).
+    The 1e-30 floor keeps log finite for alpha == 1; the prefix then
+    underflows exp to exactly 0, matching the product semantics."""
+    G = one_minus.shape[-1]
+    lg = jnp.log(jnp.maximum(one_minus, 1e-30))
+    ii = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    tri = (ii < jj).astype(jnp.float32)            # strict upper: i < j
+    pre = jax.lax.dot_general(lg, tri, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [P,G]
+    T_before = T * jnp.exp(pre)
+    T_new = T * jnp.exp(pre[:, -1:] + lg[:, -1:])
+    return T_before, T_new
+
+
 def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-1]
     k = 1
@@ -84,8 +108,11 @@ def _pixel_coords(t, tile_size, tiles_x, row0, col0, P):
     return px, py
 
 
-def _chunk_alpha(ch, px, py, count, ci, G):
-    """Shared fwd/bwd per-chunk alpha math.  ch: [16,G] VMEM chunk."""
+def _chunk_alpha(ch, px, py, head, count, ci, G):
+    """Shared fwd/bwd per-chunk alpha math.  ch: [16,G] VMEM chunk.
+    `head` = start % G: the tile's instances occupy stream rows
+    [head, head + count) relative to its first (unaligned) chunk — lanes
+    outside that window belong to neighboring tiles and are masked."""
     x = ch[B.ROW_X:B.ROW_X + 1, :]
     y = ch[B.ROW_Y:B.ROW_Y + 1, :]
     qa = ch[B.ROW_QA:B.ROW_QA + 1, :]
@@ -93,7 +120,7 @@ def _chunk_alpha(ch, px, py, count, ci, G):
     qc = ch[B.ROW_QC:B.ROW_QC + 1, :]
     op = ch[B.ROW_OP:B.ROW_OP + 1, :]
     lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + ci * G
-    valid = (lidx < count).astype(jnp.float32)
+    valid = ((lidx >= head) & (lidx < head + count)).astype(jnp.float32)
     dx = px - x                                   # [P, G]
     dy = py - y
     s = dx * dx * qa + 2.0 * dx * dy * qb + dy * dy * qc
@@ -113,12 +140,12 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
     count = tile_count_ref[t]
     P = tile_size * tile_size
     px, py = _pixel_coords(t, tile_size, tiles_x, row0, col0, P)
-    n_chunks = (count + G - 1) // G
-
-    chunk0 = start // G  # start is chunk-aligned by construction
+    chunk0 = start // G          # first (possibly shared) stream chunk
+    head = start - chunk0 * G    # unaligned offset within it
+    n_chunks = jnp.where(count > 0, (head + count + G - 1) // G, 0)
 
     def dma(ci):
-        # inst_hbm is [K_pad//G, 16, G]: dynamic index on the MAJOR dim only —
+        # inst_hbm is [K//G, 16, G]: dynamic index on the MAJOR dim only —
         # Mosaic requires dynamically-sliced dims to be untiled (the last two
         # dims carry the (8,128) tiling).  Slot ci%2 double-buffers.
         slot = jax.lax.rem(ci, 2)
@@ -139,19 +166,15 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
 
         dma(ci).wait()
         ch = chunk_ref[jax.lax.rem(ci, 2)]
-        m = _chunk_alpha(ch, px, py, count, ci, G)
+        m = _chunk_alpha(ch, px, py, head, count, ci, G)
         one_minus = 1.0 - m["alpha"]
-        cprod = _cumprod_last(one_minus)
-        T_excl = jnp.concatenate(
-            [jnp.ones_like(cprod[:, :1]), cprod[:, :-1]], axis=-1)
-        T_before = T * T_excl
+        T_before, T = _transmittance(one_minus, T)
         gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
         contrib = T_before * m["alpha"] * gate     # [P, G]
         cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
         acc = acc + jax.lax.dot_general(
             cmat, contrib, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # [8, P]
-        T = T * cprod[:, -1:]
         return ci + 1, T, acc
 
     def cond(carry):
@@ -173,30 +196,72 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
 # ======================== backward kernel ========================
 
 def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
-                dinst_hbm, chunk_ref, dchunk_ref, sem, wsem,
+                dinst_hbm, dhead_hbm, chunk_ref, dchunk_ref, sem, wsem,
                 *, tile_size, tiles_x, G, row0, col0):
     # dchunk_ref/wsem are double-buffered [2, ...]: the write DMA of chunk i
     # overlaps the compute of chunk i+1 (waiting per chunk serialized the
     # whole backward sweep on DMA latency).
+    #
+    # Write routing (race-free without padded chunk alignment): stream chunk
+    # c's PRIMARY tile is the one containing row c*G; primaries partition
+    # the chunks, and tile t is primary for exactly its local chunks
+    # ci >= 1 (plus ci == 0 when start is aligned).  The unaligned head
+    # chunk (ci == 0, head > 0) is primary to the PREVIOUS tile, so its
+    # gradient block goes to the per-tile side buffer dhead_hbm[t] instead;
+    # XLA merges heads into the main stream with one segment-sum
+    # (raster_bwd epilogue).  Every tile writes dhead_hbm[t] (zeros when it
+    # has no unaligned head), so the merge may sum unconditionally.
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     P = tile_size * tile_size
     px, py = _pixel_coords(t, tile_size, tiles_x, row0, col0, P)
-    n_chunks = (count + G - 1) // G
+    chunk0 = start // G
+    head = start - chunk0 * G
+    n_chunks = jnp.where(count > 0, (head + count + G - 1) // G, 0)
 
     gout = gout_ref[0]                 # [8, P] cotangent of raw accumulators
     oraw = oraw_ref[0]                 # [8, P] saved forward accumulators
     # total_p = <dOut, O_total> per pixel, as a [P,1] column.
     total = jnp.swapaxes(jnp.sum(gout * oraw, axis=0, keepdims=True), 0, 1)
 
-    chunk0 = start // G  # start is chunk-aligned by construction
-
     def dma(ci):
         slot = jax.lax.rem(ci, 2)
         return pltpu.make_async_copy(
             inst_hbm.at[jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)],
             chunk_ref.at[slot], sem.at[slot])
+
+    def wcopy_head(slot):
+        return pltpu.make_async_copy(dchunk_ref.at[slot], dhead_hbm.at[t],
+                                     wsem.at[slot])
+
+    def wcopy_main(slot, ci):
+        return pltpu.make_async_copy(
+            dchunk_ref.at[slot],
+            dinst_hbm.at[jnp.minimum(chunk0 + ci, dinst_hbm.shape[0] - 1)],
+            wsem.at[slot])
+
+    def wstart(ci):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when((ci == 0) & (head > 0))
+        def _():
+            wcopy_head(slot).start()
+
+        @pl.when((ci > 0) | (head == 0))
+        def _():
+            wcopy_main(slot, ci).start()
+
+    def wwait(ci):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when((ci == 0) & (head > 0))
+        def _():
+            wcopy_head(slot).wait()
+
+        @pl.when((ci > 0) | (head == 0))
+        def _():
+            wcopy_main(slot, ci).wait()
 
     @pl.when(n_chunks > 0)
     def _():
@@ -211,13 +276,10 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
 
         dma(ci).wait()
         ch = chunk_ref[jax.lax.rem(ci, 2)]
-        m = _chunk_alpha(ch, px, py, count, ci, G)
+        m = _chunk_alpha(ch, px, py, head, count, ci, G)
         alpha = m["alpha"]
         one_minus = 1.0 - alpha
-        cprod = _cumprod_last(one_minus)
-        T_excl = jnp.concatenate(
-            [jnp.ones_like(cprod[:, :1]), cprod[:, :-1]], axis=-1)
-        T_before = T * T_excl
+        T_before, T_new = _transmittance(one_minus, T)
         gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
         wgt = T_before * alpha * gate              # [P, G] contribution weights
 
@@ -273,14 +335,11 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         # reuse of this slot: its write from chunk ci-2 must have landed
         @pl.when(ci >= 2)
         def _():
-            pltpu.make_async_copy(dchunk_ref.at[slot],
-                                  dinst_hbm.at[chunk0 + ci - 2],
-                                  wsem.at[slot]).wait()
+            wwait(ci - 2)
         dchunk_ref[slot] = d_chunk
-        pltpu.make_async_copy(dchunk_ref.at[slot], dinst_hbm.at[chunk0 + ci],
-                              wsem.at[slot]).start()
+        wstart(ci)
 
-        T = T * cprod[:, -1:]
+        T = T_new
         prefix = incl[:, -1:]
         return ci + 1, T, prefix
 
@@ -302,37 +361,44 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     # are reused by the zero-fill below.
     @pl.when(stop_ci >= 1)
     def _():
-        pltpu.make_async_copy(dchunk_ref.at[jax.lax.rem(stop_ci - 1, 2)],
-                              dinst_hbm.at[chunk0 + stop_ci - 1],
-                              wsem.at[jax.lax.rem(stop_ci - 1, 2)]).wait()
+        wwait(stop_ci - 1)
 
     @pl.when(stop_ci >= 2)
     def _():
-        pltpu.make_async_copy(dchunk_ref.at[jax.lax.rem(stop_ci, 2)],
-                              dinst_hbm.at[chunk0 + stop_ci - 2],
-                              wsem.at[jax.lax.rem(stop_ci, 2)]).wait()
+        wwait(stop_ci - 2)
 
-    # Chunks skipped by early exit still own slots in d_inst: write zeros so
-    # the pack backward sees exact zero gradients (not garbage).
-    @pl.when(stop_ci < n_chunks)
+    # Chunks skipped by early exit still own slots in d_inst, and tiles with
+    # an aligned/empty head never wrote dhead_hbm[t]: write zeros so the
+    # merge epilogue and pack backward see exact zero gradients, not
+    # garbage.  (stop_ci >= 1 whenever n_chunks > 0, so the zero-fill loop
+    # below only ever targets primary chunks — never the head buffer.)
+    head_written = (n_chunks > 0) & (head > 0)
+
+    @pl.when((stop_ci < n_chunks) | jnp.logical_not(head_written))
     def _():
         dchunk_ref[0] = jnp.zeros((N_ROWS, G), jnp.float32)
 
+    @pl.when(jnp.logical_not(head_written))
+    def _():
+        wr = wcopy_head(jnp.int32(0))
+        wr.start()
+        wr.wait()
+
     def zbody(ci):
-        wr = pltpu.make_async_copy(
-            dchunk_ref.at[0], dinst_hbm.at[chunk0 + ci], wsem.at[0])
+        wr = wcopy_main(jnp.int32(0), ci)
         wr.start()
         wr.wait()
         return ci + 1
 
-    jax.lax.while_loop(lambda ci: ci < n_chunks, zbody, stop_ci)
+    jax.lax.while_loop(lambda ci: ci < n_chunks, zbody,
+                       jnp.maximum(stop_ci, 1))
 
 
 # ======================== pallas_call wrappers ========================
 
 @functools.lru_cache(maxsize=64)
 def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
-                    K_pad: int, row0: int, col0: int, interpret: bool):
+                    K: int, row0: int, col0: int, interpret: bool):
     P = tile_size * tile_size
     kern_fwd = functools.partial(_fwd_kernel, tile_size=tile_size,
                                  tiles_x=tiles_x, G=G, row0=row0, col0=col0)
@@ -368,7 +434,8 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
                         pltpu.VMEM((2, N_ROWS, G), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
@@ -378,11 +445,13 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
     def bwd_call(inst, tile_start, tile_count, gout, oraw):
         return pl.pallas_call(
             kern_bwd,
-            out_shape=jax.ShapeDtypeStruct((K_pad // G, N_ROWS, G),
-                                           jnp.float32),
+            out_shape=(jax.ShapeDtypeStruct((K // G, N_ROWS, G), jnp.float32),
+                       jax.ShapeDtypeStruct((num_tiles, N_ROWS, G),
+                                            jnp.float32)),
             grid_spec=bwd_grid,
             interpret=interpret,
-            # per-tile d_inst slices are disjoint, so the grid is parallel
+            # chunk-primary d_inst slices and per-tile d_head rows are
+            # disjoint across tiles, so the grid is parallel
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, dimension_semantics=("parallel",)),
         )(tile_start, tile_count, inst, gout, oraw)
@@ -397,7 +466,25 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
 
     def raster_bwd(res, gout):
         inst, tile_start, tile_count, oraw = res
-        d_inst = bwd_call(inst, tile_start, tile_count, gout, oraw)
+        d_main, d_head = bwd_call(inst, tile_start, tile_count, gout, oraw)
+        NC = K // G
+        cid = jnp.arange(NC, dtype=jnp.int32)
+        # Stream-tail chunks beyond the live instances have no primary tile
+        # and were never written: hard-zero them (where, not multiply — they
+        # may hold NaN garbage).
+        n_live = tile_start[num_tiles - 1] + tile_count[num_tiles - 1]
+        d_main = jnp.where((cid * G < n_live)[:, None, None], d_main, 0.0)
+        # Merge unaligned-head contributions: tile starts ascend, so
+        # head_chunk is nondecreasing — a segment sum by prefix difference.
+        head_chunk = tile_start // G                       # [num_tiles]
+        flat = d_head.reshape(num_tiles, N_ROWS * G)
+        csum = B._cumsum_blocked_last(flat.T).T            # [T, 16*G]
+        csum = jnp.concatenate(
+            [jnp.zeros((1, csum.shape[1]), csum.dtype), csum], axis=0)
+        lo = jnp.searchsorted(head_chunk, cid, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(head_chunk, cid, side="right").astype(jnp.int32)
+        merged = (csum[hi] - csum[lo]).reshape(NC, N_ROWS, G)
+        d_inst = d_main + merged
         zero_i = np.zeros(tile_start.shape, jax_dtypes.float0)
         return d_inst, zero_i, zero_i
 
@@ -445,15 +532,17 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                             radius_max=radius_max, row0=row0, col0=col0,
                             full_height=full_height, full_width=full_width,
                             max_dup_per_axis=max_dup_per_axis)
-    K_pad = b.src_row.shape[0]
+    K = b.s_rank.shape[0]
+    assert K % G == 0, "binning pads the stream to whole kernel chunks"
     # binning rebases instance coordinates to the band, so the kernel always
     # rasterizes at local origin.
-    op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K_pad,
+    op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K,
                          0, 0, interpret)
-    # Per-Gaussian attribute matrix -> packed instances via the scatter-free
-    # custom-VJP gather (binning.pack_instances).  Gradient hygiene for the
-    # kernel's unwritten d_inst tail is automatic: the pack backward only
-    # reads live slots, all of which lie inside the written region.
+    # Per-Gaussian attribute matrix -> compact chunked instance stream via
+    # the scatter-free custom-VJP gather (binning.pack_instances).  Stream
+    # rows past n_live hold garbage copies but no tile's [start, start+count)
+    # window reaches them, and the raster backward hard-zeros their
+    # gradient chunks before the pack backward runs.
     zeros = jnp.zeros_like(proj.depth)
     attrs = jnp.stack([
         proj.means2d[:, 0] - jnp.float32(col0),    # ROW_X (band-local)
@@ -462,13 +551,10 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
         proj.opacity,
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         proj.depth,
-        jnp.ones_like(proj.depth),                 # ROW_ONE (* live -> mask)
+        jnp.ones_like(proj.depth),                 # ROW_ONE (alpha channel)
     ] + [zeros] * (N_ROWS - 11), axis=1)           # [C, 16]
-    inst = B.pack_instances(attrs, b.s_rank, b.src_row, b.live,
-                            b.rank_counts, b.order, b.inv_order)
-    # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
-    # chunk dim must be the major (untiled) one for Mosaic
-    inst = inst.reshape(N_ROWS, K_pad // G, G).transpose(1, 0, 2)
+    inst = B.pack_instances(attrs, b.s_rank, b.rank_counts, b.order,
+                            b.inv_order, b.n_live, G)  # [K//G, 16, G]
     acc = op(inst, b.tile_start, b.tile_count)     # [T, 8, P]
 
     img = acc.reshape(tiles_y, tiles_x, N_ACC, tile_size, tile_size)

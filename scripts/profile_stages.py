@@ -1,3 +1,5 @@
+# NOTE: written against the pre-compact-stream binning API; kept for
+# the measurement record.  Use profile_stages3.py / profile_pack.py.
 """Per-stage timing of the Pallas render pipeline on the real chip.
 
 Times jitted PREFIXES of the pipeline and reports diffs, so each stage's

@@ -1,3 +1,5 @@
+# NOTE: written against the pre-compact-stream binning API; kept for
+# the measurement record.  Use profile_stages3.py / profile_pack.py.
 """Trustworthy per-stage profile: every measurement is the SLOPE of a
 chained fori_loop (k2-k1 extra iterations) with a forced scalar fetch —
 immune to the remote tunnel's async dispatch and execution dedupe.

@@ -46,19 +46,18 @@ def test_binning_ranges_consistent():
     live = np.asarray(b.live)
     depth = np.asarray(proj.depth)
     assert int(b.n_dropped) == 0
-    # starts are chunk-aligned and depths ascend within each tile
-    assert np.all(start % 32 == 0)
+    # tiles tile the compact stream contiguously; depths ascend within each
+    assert np.all(start[1:] == start[:-1] + count[:-1])
+    assert int(b.n_live) == start[-1] + count[-1]
     for t in range(16):
         c = count[t]
         seg = slice(start[t], start[t] + c)
         assert np.all(live[seg])
-        # padding up to the chunk boundary is dead
-        pad_end = start[t] + ((c + 31) // 32) * 32
-        assert not np.any(live[start[t] + c:pad_end])
         if c == 0:
             continue
         d = depth[gid[seg]]
         assert np.all(np.diff(d) >= 0), t
+    assert not np.any(live[int(b.n_live):])
 
 
 @pytest.mark.parametrize("bg", [[0.0, 0.0, 0.0], [0.3, 0.6, 0.9]])
@@ -117,9 +116,13 @@ def test_pallas_gradients_match_golden():
         a = np.asarray(grads_p[name])
         b = np.asarray(grads_g[name])
         scale = np.abs(b).max() + 1e-8
-        # 4e-4 normalized: float32 prefix-difference cancellation in the
-        # pack backward's segment sums bounds the agreement.
-        np.testing.assert_allclose(a / scale, b / scale, atol=4e-4,
+        # 1e-3 normalized: float32 association noise — the kernel groups a
+        # tile's instances into chunks at unaligned stream boundaries, so
+        # the per-chunk transmittance scans and the pack backward's segment
+        # prefix-differences round differently than the golden autodiff
+        # (measured: error moves non-monotonically with chunk size G, and
+        # the pack VJP alone matches autodiff to ~5e-7 relative).
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
                                    err_msg=name)
 
 

@@ -153,8 +153,8 @@ def test_sharded_binning_matches_replicated_bands():
         b = binning.bin_gaussians_sharded(
             proj, band_h, W, 16, 1024, 32, "tile", n,
             full_height=H, full_width=W, route_capacity=1024)
-        return (b.s_rank, b.src_row, b.live, b.rank_counts, b.tile_start,
-                b.tile_count, b.n_dropped[None])
+        return (b.s_rank, b.rank_counts, b.tile_start,
+                b.tile_count, b.n_live[None], b.n_dropped[None])
 
     f = shard_map(sharded, mesh=mesh,
                   in_specs=(P(),), out_specs=P("tile"), check_vma=False)
@@ -168,9 +168,8 @@ def test_sharded_binning_matches_replicated_bands():
             (n, -1) + x.shape[1:])[i] if x.ndim else x, out)
         assert int(ref.n_dropped) == 0
         np.testing.assert_array_equal(got[0], np.asarray(ref.s_rank))
-        np.testing.assert_array_equal(got[1], np.asarray(ref.src_row))
-        np.testing.assert_array_equal(got[2], np.asarray(ref.live))
-        np.testing.assert_array_equal(got[3], np.asarray(ref.rank_counts))
-        np.testing.assert_array_equal(got[4], np.asarray(ref.tile_start))
-        np.testing.assert_array_equal(got[5], np.asarray(ref.tile_count))
-        assert int(np.asarray(out[6]).reshape(n)[i]) == 0
+        np.testing.assert_array_equal(got[1], np.asarray(ref.rank_counts))
+        np.testing.assert_array_equal(got[2], np.asarray(ref.tile_start))
+        np.testing.assert_array_equal(got[3], np.asarray(ref.tile_count))
+        assert int(np.asarray(out[4]).reshape(n)[i]) == int(ref.n_live)
+        assert int(np.asarray(out[5]).reshape(n)[i]) == 0

@@ -49,6 +49,14 @@ def main(argv=None) -> int:
         overrides["mesh_tile"] = args.mesh_tile
     config = dataclasses.replace(config, **overrides)
 
+    if config.device == "cpu":
+        # honor `system: device: cpu` (the axon sitecustomize pins
+        # jax_platforms at import; switch via config and drop the cache)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.extend.backend as jeb
+        jeb.clear_backends()
+
     from mini3dgs_tpu.train.trainer import GaussianTrainer
 
     trainer = GaussianTrainer(config)

@@ -69,9 +69,14 @@ class TrainingConfig:
     sh_degree: int = 3
     color_mode: str = "dc_sigmoid"  # "dc_sigmoid" (reference renderer.py:90) or "sh" (canonical 3DGS)
     sh_increase_interval: int = 1000  # progressive SH degree unlock (canonical 3DGS)
+    antialias: bool = False          # mip-splatting 2D dilation + opacity compensation
 
     # -- loss (reference default.yaml loss:) --
     lambda_dssim: float = 0.2
+
+    # -- per-camera exposure compensation (train/exposure.py; new) --
+    use_exposure: bool = False
+    exposure_lr: float = 1e-3
 
     # -- TPU-native knobs (new; no reference analog) --
     capacity: int = 2 ** 17          # Gaussian slot-pool capacity (static shape under jit)
@@ -116,7 +121,10 @@ _NESTED_MAP = {
     ("rendering", "tile_size"): "tile_size",
     ("rendering", "sh_degree"): "sh_degree",
     ("rendering", "color_mode"): "color_mode",
+    ("rendering", "antialias"): "antialias",
     ("loss", "lambda_dssim"): "lambda_dssim",
+    ("training", "use_exposure"): "use_exposure",
+    ("learning_rates", "exposure"): "exposure_lr",
     ("system", "device"): "device",
     ("system", "seed"): "seed",
     ("tpu", "capacity"): "capacity",

@@ -250,6 +250,17 @@ class RandomDataset(CameraDataset):
             cams.append(Camera.create(uid=i, R=R, T=center, FoVx=self.fov,
                                       FoVy=self.fov, width=self.width,
                                       height=self.height))
+        # Self-supervised ground truth: render the point cloud itself (as
+        # small Gaussians) through the golden path, so `main.py` trains
+        # end-to-end with zero external data (the smoke surface).
+        from ..core.gaussians import create_from_pcd
+        from ..ops.renderer import RenderSettings, render
+        pts, cols = self.get_point_cloud()
+        cap = 1 << int(math.ceil(math.log2(max(len(pts), 2))))
+        g = create_from_pcd(pts, cols, capacity=cap)
+        st = RenderSettings(image_height=self.height, image_width=self.width,
+                            use_pallas=False)
+        cams = [c.replace(image=render(g, c, st)["image"]) for c in cams]
         self.cameras = cams
         self.split_train_test(1.0)
         self.test_cameras = cams[:1]

@@ -42,7 +42,8 @@ class Projected(NamedTuple):
 def project_gaussians(g: Gaussians, camera: Camera, *,
                       radius_min: float = 0.01, radius_max: float = 50.0,
                       color_mode: str = "dc_sigmoid", sh_degree: int = 0,
-                      scale_modifier: float = 1.0) -> Projected:
+                      scale_modifier: float = 1.0,
+                      antialias: bool = False) -> Projected:
     W, H = camera.width, camera.height
     fx = 0.5 * W / jnp.tan(camera.FoVx * 0.5)
     fy = 0.5 * H / jnp.tan(camera.FoVy * 0.5)
@@ -83,6 +84,19 @@ def project_gaussians(g: Gaussians, camera: Camera, *,
     b = j11 * (j00 * c01 + j02 * c12) + j12 * (j00 * c02 + j02 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + 1e-6
 
+    # Mip-splatting-style antialiasing (opt-in; beyond reference parity):
+    # dilate the screen-space covariance by the pixel footprint (0.3 px^2)
+    # and compensate opacity by sqrt(det(Sigma)/det(Sigma+sI)) so an
+    # isolated Gaussian's total integrated contribution is preserved as it
+    # shrinks below a pixel (Yu et al., "Mip-Splatting", CVPR 2024).
+    comp = 1.0
+    if antialias:
+        det_raw = jnp.maximum(a * c - b * b, 1e-12)
+        a = a + 0.3
+        c = c + 0.3
+        det_blur = a * c - b * b
+        comp = jnp.sqrt(jnp.maximum(det_raw / det_blur, 0.0))
+
     # conic = [[a,b],[b,c]]^-1 in closed form.
     det = a * c - b * b
     det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
@@ -110,7 +124,7 @@ def project_gaussians(g: Gaussians, camera: Camera, *,
     else:
         raise ValueError(f"unknown color_mode {color_mode!r}")
 
-    opacity = jax.nn.sigmoid(g.opacity[:, 0])
+    opacity = jax.nn.sigmoid(g.opacity[:, 0]) * comp
     return Projected(means2d=means2d, conic=conic, depth=Z, radius=radius,
                      visible=visible, color=color, opacity=opacity)
 

@@ -41,6 +41,10 @@ class RenderSettings:
     radius_max: float = struct.field(pytree_node=False, default=50.0)
     color_mode: str = struct.field(pytree_node=False, default="dc_sigmoid")
     sh_degree: int = struct.field(pytree_node=False, default=0)
+    # Mip-splatting antialiasing: dilate Sigma2D by the 0.3px^2 pixel filter
+    # and scale opacity by sqrt(det ratio).  Off by default (reference
+    # semantics, renderer.py:179-186, add only the 1e-6 stabilizer).
+    antialias: bool = struct.field(pytree_node=False, default=False)
     use_pallas: bool = struct.field(pytree_node=False, default=False)
     max_instances: int = struct.field(pytree_node=False, default=2 ** 18)
     gaussian_chunk: int = struct.field(pytree_node=False, default=256)
@@ -67,7 +71,8 @@ def render(gaussians: Gaussians, camera: Camera,
         gaussians, camera,
         radius_min=settings.radius_min, radius_max=settings.radius_max,
         color_mode=settings.color_mode, sh_degree=settings.sh_degree,
-        scale_modifier=settings.scale_modifier)
+        scale_modifier=settings.scale_modifier,
+        antialias=settings.antialias)
 
     if settings.use_pallas:
         from .raster_pallas import rasterize_tiles

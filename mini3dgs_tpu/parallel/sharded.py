@@ -39,6 +39,34 @@ from ..train.optimizer import make_optimizer
 from ..train.trainer import TrainState
 
 
+def _project(g: Gaussians, camera: Camera, settings: RenderSettings,
+             shard_axis: str = None, n_shards: int = 1):
+    """EWA projection, optionally primitive-sharded (SURVEY §2.5 "TP"):
+    device i projects only Gaussian slots [i*C/n, (i+1)*C/n) and the compact
+    projected set is reassembled with one all_gather over ICI.  Elementwise
+    math is identical per slot, so results are bitwise equal to the
+    replicated projection; the all_gather transpose reduce-scatters
+    per-Gaussian gradients back to their owners in backward."""
+    kw = dict(radius_min=settings.radius_min, radius_max=settings.radius_max,
+              color_mode=settings.color_mode, sh_degree=settings.sh_degree,
+              scale_modifier=settings.scale_modifier,
+              antialias=settings.antialias)
+    C = g.xyz.shape[0]
+    if shard_axis is None or n_shards <= 1 or C % n_shards != 0:
+        return project_gaussians(g, camera, **kw)
+    i = jax.lax.axis_index(shard_axis)
+    Cs = C // n_shards
+
+    def shard(x):
+        return jax.lax.dynamic_slice_in_dim(x, i * Cs, Cs, axis=0)
+
+    g_slice = jax.tree.map(shard, g)
+    proj_slice = project_gaussians(g_slice, camera, **kw)
+    return jax.tree.map(
+        lambda x: jax.lax.all_gather(x, shard_axis, axis=0, tiled=True),
+        proj_slice)
+
+
 def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
                  band_h: int, row0, shard_axis: str = None,
                  n_shards: int = 1) -> dict:
@@ -46,12 +74,10 @@ def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
     traced value (lax.axis_index * band_h).  All AABB math stays in global
     coordinates inside binning, so bands compose bit-identically to a
     single-device render.  With shard_axis/n_shards the candidate sort is
-    itself sharded over the mesh (one all_to_all routes instances home)."""
-    proj = project_gaussians(
-        g, camera,
-        radius_min=settings.radius_min, radius_max=settings.radius_max,
-        color_mode=settings.color_mode, sh_degree=settings.sh_degree,
-        scale_modifier=settings.scale_modifier)
+    itself sharded over the mesh (one all_to_all routes instances home) and
+    projection is primitive-sharded (each device projects 1/n of the
+    Gaussians; one all_gather reassembles)."""
+    proj = _project(g, camera, settings, shard_axis, n_shards)
     H, W = settings.image_height, settings.image_width
     bg = jnp.asarray(settings.bg_color, jnp.float32)
     if settings.use_pallas:
@@ -126,8 +152,7 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
         new_params = jax.tree.map(lambda p, u: p + u, params, updates)
         g = state.gaussians.with_params(new_params)
         # densification stats from the reduced grads (full-image grad norms)
-        proj = project_gaussians(g, camera, color_mode=settings.color_mode,
-                                 sh_degree=settings.sh_degree)
+        proj = _project(g, camera, settings, "tile", n_tile)
         g = density.accumulate_grad_stats(g, grads["xyz"], proj.radius,
                                           proj.visible)
         metrics = {k: jax.lax.pmean(v, ("data", "tile")) for k, v in parts.items()}

@@ -38,13 +38,28 @@ class TrainState:
     gaussians: Gaussians
     opt_state: tuple
     step: jnp.ndarray  # int32 scalar
+    # optional per-camera exposure compensation (train/exposure.py)
+    exposure: Optional[jnp.ndarray] = None       # [n_cams, 3, 4]
+    exp_opt_state: Optional[tuple] = None
 
 
-def create_train_state(gaussians: Gaussians, config: TrainingConfig) -> TrainState:
+def create_train_state(gaussians: Gaussians, config: TrainingConfig,
+                       n_cameras: int = 0) -> TrainState:
     tx = make_optimizer(config)
     opt_state = tx.init(gaussians.params())
+    exposure = exp_opt = None
+    if config.use_exposure and n_cameras > 0:
+        from .exposure import init_exposure
+        exposure = init_exposure(n_cameras)
+        exp_opt = _exposure_optimizer(config).init(exposure)
     return TrainState(gaussians=gaussians, opt_state=opt_state,
-                      step=jnp.int32(0))
+                      step=jnp.int32(0), exposure=exposure,
+                      exp_opt_state=exp_opt)
+
+
+def _exposure_optimizer(config: TrainingConfig):
+    import optax
+    return optax.adam(config.exposure_lr)
 
 
 def make_train_step(config: TrainingConfig,
@@ -59,18 +74,31 @@ def make_train_step(config: TrainingConfig,
     if sh_degree is not None:
         settings = settings.replace(sh_degree=sh_degree)
 
-    def loss_fn(params, g: Gaussians, camera: Camera):
+    tx_exp = _exposure_optimizer(config)
+
+    def loss_fn(params, exposure, g: Gaussians, camera: Camera, cam_idx):
         g = g.with_params(params)
         out = render(g, camera, settings)
-        total, parts = gaussian_loss(out["image"], camera.image,
+        image = out["image"]
+        if exposure is not None:
+            from .exposure import apply_exposure
+            image = apply_exposure(exposure[cam_idx], image)
+        total, parts = gaussian_loss(image, camera.image,
                                      config.lambda_dssim)
         return total, (parts, out["visibility_filter"], out["radii"])
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, camera: Camera):
+    def train_step(state: TrainState, camera: Camera,
+                   cam_idx=jnp.int32(0)):
         params = state.gaussians.params()
-        grads, (parts, visible, radii) = jax.grad(
-            loss_fn, has_aux=True)(params, state.gaussians, camera)
+        grads_all, (parts, visible, radii) = jax.grad(
+            loss_fn, argnums=(0, 1) if state.exposure is not None else 0,
+            has_aux=True, allow_int=False)(
+                params, state.exposure, state.gaussians, camera, cam_idx)
+        if state.exposure is not None:
+            grads, exp_grads = grads_all
+        else:
+            grads, exp_grads = grads_all, None
         # Dead slots must not drift: zero their grads (their Adam moments are
         # zeroed at allocation, so updates stay exactly 0).
         alive = state.gaussians.alive
@@ -83,8 +111,13 @@ def make_train_step(config: TrainingConfig,
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         g = state.gaussians.with_params(params)
         g = density.accumulate_grad_stats(g, grads["xyz"], radii, visible)
+        exposure, exp_opt = state.exposure, state.exp_opt_state
+        if exposure is not None:
+            exp_updates, exp_opt = tx_exp.update(exp_grads, exp_opt, exposure)
+            exposure = exposure + exp_updates
         new_state = TrainState(gaussians=g, opt_state=opt_state,
-                               step=state.step + 1)
+                               step=state.step + 1, exposure=exposure,
+                               exp_opt_state=exp_opt)
         metrics = dict(parts)
         metrics["n_visible"] = visible.sum()
         return new_state, metrics
@@ -153,7 +186,8 @@ def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
                              nu=jax.tree.map(pad_moment, adam.nu))
     return TrainState(gaussians=new_g,
                       opt_state=(new_adam,) + tuple(state.opt_state[1:]),
-                      step=state.step)
+                      step=state.step, exposure=state.exposure,
+                      exp_opt_state=state.exp_opt_state)
 
 
 class GaussianTrainer:
@@ -199,8 +233,14 @@ class GaussianTrainer:
                 max_instances=self.config.max_instances,
                 gaussian_chunk=self.config.gaussian_chunk,
                 color_mode=self.config.color_mode,
+                antialias=self.config.antialias,
                 sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)
-        self.state = create_train_state(gaussians, self.config)
+        n_cams = len(self.train_cameras()) if self.dataset is not None else 0
+        if self.config.use_exposure and self.config.mesh_data * self.config.mesh_tile > 1:
+            raise NotImplementedError(
+                "per-camera exposure is single-device for now")
+        self.state = create_train_state(gaussians, self.config,
+                                        n_cameras=n_cams)
         self._train_steps = {}  # active SH degree -> jitted step
         self._densify_step = make_densify_step(self.config)
         self.scene_extent = float(scene_extent_of(gaussians))
@@ -224,7 +264,7 @@ class GaussianTrainer:
         return min(self.iteration // self.config.sh_increase_interval,
                    self.config.sh_degree)
 
-    def train_step(self, camera: Camera) -> Dict[str, float]:
+    def train_step(self, camera: Camera, cam_idx: int = 0) -> Dict[str, float]:
         """Single step (reference trainer.py:61-65).  On a multi-device mesh
         `camera` may be a batched camera pytree (leading dim = data axis)."""
         deg = self.active_sh_degree()
@@ -243,7 +283,11 @@ class GaussianTrainer:
             camera = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (n,) + x.shape)
                 if x is not None else None, camera)
-        self.state, metrics = self._train_steps[deg](self.state, camera)
+        if self.mesh is not None:
+            self.state, metrics = self._train_steps[deg](self.state, camera)
+        else:
+            self.state, metrics = self._train_steps[deg](
+                self.state, camera, jnp.int32(cam_idx))
         self.iteration = int(self.state.step)
         return metrics
 
@@ -262,9 +306,13 @@ class GaussianTrainer:
                 # static metadata must match across the stack
                 sel = [c.replace(uid=0, image_name="") for c in sel]
                 cam = jax.tree.map(lambda *x: jnp.stack(x), *sel)
+                cam_idx = 0
             else:
-                cam = cams[int(rng.integers(len(cams)))]
-            metrics = self.train_step(cam)
+                cam_idx = int(rng.integers(len(cams)))
+                # normalize static metadata so every camera shares ONE
+                # compiled step (uid/image_name live in the jit treedef)
+                cam = cams[cam_idx].replace(uid=0, image_name="")
+            metrics = self.train_step(cam, cam_idx)
             if density.should_densify(it, self.config):
                 self._key, sub = jax.random.split(self._key)
                 self.state, dstats = self._densify_step(

@@ -213,3 +213,57 @@ def test_render_is_differentiable():
         assert np.all(np.isfinite(arr)), name
     assert np.any(np.asarray(grads["xyz"])[:2] != 0)
     assert np.any(np.asarray(grads["opacity"])[:2] != 0)
+
+
+class TestAntialias:
+    """Mip-splatting antialiasing (opt-in flag, beyond reference parity)."""
+
+    def test_opacity_compensation_small_gaussian(self):
+        # A sub-pixel Gaussian: dilation dominates, compensation ~ det
+        # ratio << 1; total integrated contribution is preserved, so the
+        # alpha at the center drops while the footprint grows.
+        g = make_gaussians([[0.0, 0.0, 2.0]], [[1e-3, 1e-3, 1e-3]],
+                           [[4.0, -4.0, -4.0]], [0.99])
+        cam = identity_camera()
+        p_off = project_gaussians(g, cam)
+        p_on = project_gaussians(g, cam, antialias=True)
+        # dilated covariance -> smaller conic diagonal, larger radius
+        assert float(p_on.conic[0, 0]) < float(p_off.conic[0, 0])
+        assert float(p_on.radius[0]) > float(p_off.radius[0])
+        # compensation shrinks opacity hard for a sub-pixel splat
+        assert float(p_on.opacity[0]) < 0.2 * float(p_off.opacity[0])
+
+    def test_large_gaussian_nearly_unchanged(self):
+        g = make_gaussians([[0.0, 0.0, 2.0]], [[0.5, 0.5, 0.5]],
+                           [[4.0, -4.0, -4.0]], [0.8])
+        cam = identity_camera()
+        p_off = project_gaussians(g, cam)
+        p_on = project_gaussians(g, cam, antialias=True)
+        # a many-pixel splat: 0.3px^2 dilation is negligible
+        assert float(p_on.opacity[0]) > 0.99 * float(p_off.opacity[0])
+        np.testing.assert_allclose(np.asarray(p_on.conic[0]),
+                                   np.asarray(p_off.conic[0]), rtol=0.05)
+
+    def test_render_paths_agree_and_differentiable(self):
+        rng = np.random.default_rng(3)
+        n = 40
+        g = make_gaussians(
+            np.c_[rng.uniform(-1, 1, (n, 2)), rng.uniform(1.5, 4.0, n)],
+            rng.uniform(0.02, 0.3, (n, 3)),
+            rng.normal(0, 2, (n, 3)), rng.uniform(0.2, 0.9, n),
+            capacity=64)
+        cam = identity_camera()
+        s_gold = settings_for(cam, antialias=True)
+        s_pal = settings_for(cam, antialias=True, use_pallas=True,
+                             max_instances=2 ** 13, gaussian_chunk=32)
+        out_g = render(g, cam, s_gold)
+        out_p = render(g, cam, s_pal)
+        np.testing.assert_allclose(np.asarray(out_p["image"]),
+                                   np.asarray(out_g["image"]), atol=2e-5)
+
+        def loss(params):
+            return render(g.with_params(params), cam, s_gold)["image"].sum()
+
+        grads = jax.grad(loss)(g.params())
+        assert np.isfinite(np.asarray(grads["scaling"])).all()
+        assert float(jnp.abs(grads["scaling"]).sum()) > 0.0

@@ -210,3 +210,38 @@ def test_should_densify_cadence():
     assert density.should_densify(600, cfg)
     assert density.should_densify(15000, cfg)
     assert not density.should_densify(15100, cfg)
+
+
+def test_exposure_compensation_learns_color_shift():
+    """With use_exposure, the per-camera affine transform absorbs a global
+    color shift of the target (train/exposure.py); identity init is a
+    no-op on the loss."""
+    from mini3dgs_tpu.train.trainer import make_train_step
+    from mini3dgs_tpu.train.exposure import apply_exposure, init_exposure
+
+    g, cam = make_scene(seed=3)
+    settings = RenderSettings(image_height=32, image_width=32)
+    # target = rendered scene, globally darkened and tinted
+    base = render(g, cam, settings)["image"]
+    target = jnp.clip(0.6 * base + 0.08, 0.0, 1.0)
+    cam = cam.replace(image=target)
+
+    # identity exposure leaves the image unchanged
+    M = init_exposure(3)
+    np.testing.assert_allclose(np.asarray(apply_exposure(M[1], base)),
+                               np.asarray(base), atol=1e-6)
+
+    cfg = small_config(use_exposure=True, exposure_lr=5e-2)
+    state = create_train_state(g, cfg, n_cameras=3)
+    assert state.exposure is not None and state.exposure.shape == (3, 3, 4)
+    step = make_train_step(cfg, settings)
+    losses = []
+    for _ in range(40):
+        state, m = step(state, cam, jnp.int32(1))
+        losses.append(float(m["total_loss"]))
+    # exposure matrix moved away from identity for the trained camera only
+    exp = np.asarray(state.exposure)
+    assert np.abs(exp[1] - np.asarray(M[1])).max() > 1e-2
+    np.testing.assert_array_equal(exp[0], np.asarray(M[0]))
+    np.testing.assert_array_equal(exp[2], np.asarray(M[2]))
+    assert losses[-1] < 0.5 * losses[0]

@@ -35,9 +35,11 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
     settings = RenderSettings(image_height=height, image_width=width,
                               use_pallas=use_pallas,
                               max_instances=max_instances,
-                              # G=128 measured best (71.7ms vs 73.6 at 256,
-                              # 126 at 512; 64 won't compile: lane tiling)
-                              gaussian_chunk=128,
+                              # tile 32 / G 256 measured best on v5e with the
+                              # compact stream (39.3 vs 41.8 ms at 16/128);
+                              # tile 64 exceeds the 16MB VMEM scoped limit
+                              tile_size=32,
+                              gaussian_chunk=256,
                               max_dup_per_axis=5)
     target = jnp.zeros((3, height, width), jnp.float32)
 

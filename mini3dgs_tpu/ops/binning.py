@@ -177,15 +177,27 @@ def _depth_order(proj: Projected) -> jnp.ndarray:
     return jnp.argsort(depth_key)  # [C] gaussian ids in depth order
 
 
-def _candidates(proj, order, H, W, tile_size, per_axis, row0, col0,
+def _inverse_permutation(order: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each gaussian id — inverse of `order`, computed by a small
+    sort (never a scatter; XLA scatters lower serially on TPU)."""
+    C = order.shape[0]
+    _, inv = jax.lax.sort(
+        (order.astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)), num_keys=1)
+    return inv
+
+
+def _candidates(proj, H, W, tile_size, per_axis, row0, col0,
                 full_height, full_width):
     """Candidate tiles [C, MAX_DUP] for the [H, W] viewport at (row0, col0)
-    of the full image, in depth-rank order.  AABBs are computed and clamped
-    in GLOBAL coordinates (exactly like the unsharded reference, including
-    the toward-zero int truncation) and only then converted to viewport
-    tiles, so band-sharded rendering is bit-identical to single-device.
+    of the full image, in GAUSSIAN-ID order (the sort key embeds the depth
+    rank, so emission order is free — and gid order avoids three narrow
+    [C]-row gathers through the depth permutation, each of which reads a
+    ~4KB tile per row).  AABBs are computed and clamped in GLOBAL
+    coordinates (exactly like the unsharded reference, including the
+    toward-zero int truncation) and only then converted to viewport tiles,
+    so band-sharded rendering is bit-identical to single-device.
     Returns (cand_tile [C,D] viewport-local, cand_valid [C,D],
-    lost [C] per-rank instances clamped away by the per_axis bound)."""
+    lost [C] per-gid instances clamped away by the per_axis bound)."""
     fh = full_height if full_height is not None else H
     fw = full_width if full_width is not None else W
     row0 = jnp.asarray(row0, jnp.int32)
@@ -194,9 +206,9 @@ def _candidates(proj, order, H, W, tile_size, per_axis, row0, col0,
     tiles_y = -(-H // tile_size)
     MAX_DUP = per_axis * per_axis
 
-    means2d = proj.means2d[order]
-    radius = proj.radius[order]
-    visible = proj.visible[order]
+    means2d = proj.means2d
+    radius = proj.radius
+    visible = proj.visible
 
     gx0, gx1, gy0, gy1, degen = _tile_bounds(means2d, radius, fh, fw,
                                              tile_size)
@@ -259,10 +271,11 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     packed_key = (num_tiles + 1) * C < 2 ** 31
 
     order = _depth_order(proj)
+    inv_order = _inverse_permutation(order)
     (cand_tile, cand_valid, lost) = _candidates(
-        proj, order, H, W, tile_size, per_axis, row0, col0,
+        proj, H, W, tile_size, per_axis, row0, col0,
         full_height, full_width)
-    rank = jnp.arange(C, dtype=jnp.int32)[:, None]
+    rank = inv_order[:, None]              # depth rank of each gaussian id
 
     # ---- one sort = compaction + (tile, rank) ordering ----
     # The stream length is min(max_instances, #candidates) rounded up to a
@@ -291,8 +304,9 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
         s_tile = jnp.where(invalid, num_tiles, s_tile)
     s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
-    rank_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
-    return _layout(s_tile, s_rank, order, rank_counts, num_tiles, C,
+    # per-gid candidate counts -> rank space (one [C] gather)
+    rank_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)[order]
+    return _layout(s_tile, s_rank, order, inv_order, rank_counts, num_tiles,
                    n_dropped)
 
 
@@ -339,13 +353,16 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
 
     i = jax.lax.axis_index(axis_name)
     order = _depth_order(proj)
-    # Candidates with GLOBAL tile ids (full-image viewport).
+    inv_order = _inverse_permutation(order)
+    # Candidates with GLOBAL tile ids (full-image viewport), in gid order
+    # (the key embeds the rank, so any fixed partition of the candidate
+    # grid over devices works — device i sorts gid shard i).
     cand_tile, cand_valid, lost = _candidates(
-        proj, order, fh, fw, tile_size, per_axis, 0, 0, fh, fw)
-    rank = jnp.arange(C, dtype=jnp.int32)[:, None]
+        proj, fh, fw, tile_size, per_axis, 0, 0, fh, fw)
+    rank = inv_order[:, None]
     cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
 
-    # ---- local sort of this device's rank shard ----
+    # ---- local sort of this device's gid shard ----
     local = jax.lax.dynamic_slice(cand_key, (i * Cs, 0), (Cs, MAX_DUP))
     s_local = jax.lax.sort(local.reshape(-1))          # [Cs * MAX_DUP]
 
@@ -386,16 +403,16 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
     band_lo = i * num_tiles_band
     in_my_band = (cand_valid & (cand_tile >= band_lo)
                   & (cand_tile < band_lo + num_tiles_band))
-    rank_counts = jnp.sum(in_my_band.astype(jnp.int32), axis=1)
+    rank_counts = jnp.sum(in_my_band.astype(jnp.int32), axis=1)[order]
     n_valid_band = rank_counts.sum()
     n_dropped = (jnp.maximum(n_valid_band - L, 0) + route_drops
                  + lost.sum())
 
-    return _layout(s_tile, s_rank, order, rank_counts, num_tiles_band, C,
-                   n_dropped)
+    return _layout(s_tile, s_rank, order, inv_order, rank_counts,
+                   num_tiles_band, n_dropped)
 
 
-def _layout(s_tile, s_rank, order, rank_counts, num_tiles, C,
+def _layout(s_tile, s_rank, order, inv_order, rank_counts, num_tiles,
             n_dropped) -> Binning:
     """Per-tile ranges of the sorted (tile, rank) compact instance stream.
     Shared by the replicated and the gauss-sharded binning paths.  Invalid
@@ -409,11 +426,6 @@ def _layout(s_tile, s_rank, order, rank_counts, num_tiles, C,
     start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
     count = end - start
     n_live = end[num_tiles - 1]
-
-    # inverse permutation of the depth order (rank of each gaussian id),
-    # computed by a small sort — never a scatter.
-    _, inv_order = jax.lax.sort(
-        (order.astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)), num_keys=1)
 
     return Binning(s_rank=s_rank, order=order.astype(jnp.int32),
                    inv_order=inv_order, rank_counts=rank_counts,

@@ -127,8 +127,8 @@ def _chunk_alpha(ch, px, py, head, count, ci, G):
     w = jnp.clip(jnp.exp(-0.5 * s), 0.0, 1.0)
     a_raw = op * w
     alpha = jnp.clip(a_raw, 0.0, 1.0) * (w >= W_EPS).astype(jnp.float32) * valid
-    return dict(dx=dx, dy=dy, qa=qa, qb=qb, qc=qc, op=op, w=w, a_raw=a_raw,
-                alpha=alpha, valid=valid)
+    return dict(dx=dx, dy=dy, x=x, y=y, qa=qa, qb=qb, qc=qc, op=op, w=w,
+                a_raw=a_raw, alpha=alpha, valid=valid)
 
 
 # ======================== forward kernel ========================
@@ -225,6 +225,33 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     # total_p = <dOut, O_total> per pixel, as a [P,1] column.
     total = jnp.swapaxes(jnp.sum(gout * oraw, axis=0, keepdims=True), 0, 1)
 
+    # Tile-local pixel-moment rows [1, px, py, px^2, px*py, py^2] for the
+    # moment matmul in the body (see d_s comments); built once per tile.
+    cx0 = ((t % tiles_x) * tile_size + col0).astype(jnp.float32) \
+        + 0.5 * tile_size
+    cy0 = ((t // tiles_x) * tile_size + row0).astype(jnp.float32) \
+        + 0.5 * tile_size
+    pxl = px - cx0                     # [P,1]
+    pyl = py - cy0
+    onesP = jnp.ones_like(pxl)
+    Mpix = jnp.concatenate(
+        [onesP, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
+        axis=1).T                      # [6, P]
+    ones_row = jnp.swapaxes(onesP, 0, 1)  # [1, P]
+    # Block-diagonal LHS [15, 3P]: one MXU matmul per chunk computes
+    # d_cmat (gout x wgt), the six pixel moments (Mpix x d_s), and the
+    # opacity column sum (ones x d_op_pix) together — three independent
+    # small matmuls serialized per chunk cost more in MXU latency than one
+    # wider one.  Built once per tile; the per-chunk RHS is a concat.
+    z8 = jnp.zeros((N_ACC, P), jnp.float32)
+    z6 = jnp.zeros((6, P), jnp.float32)
+    z1 = jnp.zeros((1, P), jnp.float32)
+    Lmat = jnp.concatenate([
+        jnp.concatenate([gout, z8, z8], axis=1),
+        jnp.concatenate([z6, Mpix, z6[:, :P]], axis=1),
+        jnp.concatenate([z1, z1, ones_row], axis=1),
+    ], axis=0)                         # [15, 3P]
+
     def dma(ci):
         slot = jax.lax.rem(ci, 2)
         return pltpu.make_async_copy(
@@ -308,26 +335,43 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         d_w = d_aw * m["op"]
         # w = clip(exp(-0.5 s), 0, 1); s >= 0 so only the upper clamp can bind
         d_s = -0.5 * w * d_w * (w < 1.0).astype(jnp.float32)
-        dx, dy = m["dx"], m["dy"]
-        d_qa = d_s * dx * dx
-        d_qb = 2.0 * d_s * dx * dy
-        d_qc = d_s * dy * dy
-        d_dx = d_s * (2.0 * m["qa"] * dx + 2.0 * m["qb"] * dy)
-        d_dy = d_s * (2.0 * m["qc"] * dy + 2.0 * m["qb"] * dx)
 
-        def colsum(v):                             # [P,G] -> [1,G]
-            return jnp.sum(v, axis=0, keepdims=True)
-
-        # d_color/d_depth via one MXU matmul: [8,P] x [P,G] -> [8,G]
-        d_cmat = jax.lax.dot_general(gout, wgt, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+        # Conic/mean gradients via pixel MOMENTS: dx = px - x is separable,
+        # so e.g. colsum(d_s*dx^2) = Sxx - 2x*Sx + x^2*S0 with
+        # S* = sum_p d_s * [1, px, py, px^2, px*py, py^2] — ONE [6,P]x[P,G]
+        # MXU matmul replaces five [P,G] elementwise chains and six
+        # cross-sublane column reductions (the bwd kernel was VPU-bound).
+        # Pixel coords are TILE-LOCAL (Mpix/xl below) so the expansion's
+        # cancellation stays at the footprint scale, not the image scale.
+        rhs = jnp.concatenate([wgt, d_s, d_op_pix], axis=0)  # [3P, G]
+        out15 = jax.lax.dot_general(Lmat, rhs, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        d_cmat = out15[0:N_ACC, :]                 # gout x wgt  [8, G]
+        mom = out15[N_ACC:N_ACC + 6, :]            # Mpix x d_s  [6, G]
+        d_op_row = out15[N_ACC + 6:N_ACC + 7, :]   # ones x d_op_pix
+        S0 = mom[0:1, :]
+        Sx = mom[1:2, :]
+        Sy = mom[2:3, :]
+        Sxx = mom[3:4, :]
+        Sxy = mom[4:5, :]
+        Syy = mom[5:6, :]
+        xl = m["x"] - cx0                          # [1,G] tile-local centers
+        yl = m["y"] - cy0
+        qa, qb, qc = m["qa"], m["qb"], m["qc"]
+        cx_ = Sx - xl * S0                         # colsum(d_s * dx)
+        cy_ = Sy - yl * S0
+        d_x_row = -(2.0 * qa * cx_ + 2.0 * qb * cy_)
+        d_y_row = -(2.0 * qc * cy_ + 2.0 * qb * cx_)
+        d_qa_row = Sxx - xl * (2.0 * Sx - xl * S0)
+        d_qb_row = 2.0 * (Sxy - xl * Sy - yl * Sx + xl * yl * S0)
+        d_qc_row = Syy - yl * (2.0 * Sy - yl * S0)
         d_chunk = jnp.concatenate([
-            colsum(-d_dx),                         # ROW_X
-            colsum(-d_dy),                         # ROW_Y
-            colsum(d_qa),                          # ROW_QA
-            colsum(d_qb),                          # ROW_QB
-            colsum(d_qc),                          # ROW_QC
-            colsum(d_op_pix),                      # ROW_OP
+            d_x_row,                               # ROW_X
+            d_y_row,                               # ROW_Y
+            d_qa_row,                              # ROW_QA
+            d_qb_row,                              # ROW_QB
+            d_qc_row,                              # ROW_QC
+            d_op_row,                              # ROW_OP
             d_cmat[0:4, :],                        # ROW_R..ROW_DEPTH
             jnp.zeros((N_ROWS - 10, G), jnp.float32),
         ], axis=0)

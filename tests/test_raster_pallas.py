@@ -219,3 +219,33 @@ def test_overflow_gradients_finite():
     assert np.isfinite(float(val))
     for leaf in jax.tree.leaves(grads):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+@pytest.mark.parametrize("ts", [8, 32])
+def test_pallas_matches_golden_other_tile_sizes(ts):
+    """tile_size is a perf knob: the tile-AABB cutoff semantics are
+    parametrized identically in the golden and Pallas paths, so they must
+    agree at any tile size."""
+    cam = identity_camera(64, 64, 70.0)
+    gs = random_scene(60, seed=7)
+    g_set = RenderSettings(image_height=64, image_width=64, use_pallas=False,
+                           tile_size=ts)
+    p_set = RenderSettings(image_height=64, image_width=64, use_pallas=True,
+                           tile_size=ts, max_instances=8192,
+                           gaussian_chunk=32)
+    out_g = render(gs, cam, g_set)
+    out_p = render(gs, cam, p_set)
+    np.testing.assert_allclose(np.asarray(out_p["image"]),
+                               np.asarray(out_g["image"]), atol=3e-5)
+
+    def loss(params, settings):
+        return jnp.mean(render(gs.with_params(params), cam,
+                               settings)["image"] ** 2)
+
+    gg = jax.grad(lambda p: loss(p, g_set))(gs.params())
+    gp = jax.grad(lambda p: loss(p, p_set))(gs.params())
+    for name in ("xyz", "opacity", "scaling"):
+        a, b = np.asarray(gp[name]), np.asarray(gg[name])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
+                                   err_msg=name)

@@ -56,6 +56,8 @@ class Binning(NamedTuple):
     order: jnp.ndarray         # [C] gaussian id at each depth rank
     inv_order: jnp.ndarray     # [C] depth rank of each gaussian id
     rank_counts: jnp.ndarray   # [C] instances emitted per depth rank
+    seg_start_gid: jnp.ndarray  # [C] rank-sorted segment start per gaussian id
+    counts_gid: jnp.ndarray    # [C] instances emitted per gaussian id
     tile_start: jnp.ndarray    # [T] compact start row of each tile
     tile_count: jnp.ndarray    # [T] instance count per tile
     n_live: jnp.ndarray        # scalar: rows [0, n_live) hold real instances
@@ -171,19 +173,41 @@ def _pad_to(x: jnp.ndarray, L: int, fill=_INT32_MAX) -> jnp.ndarray:
         [x, jnp.full((L - x.shape[0],), fill, x.dtype)])
 
 
-def _depth_order(proj: Projected) -> jnp.ndarray:
-    """Global depth sort of the Gaussians (stable ranks)."""
+def _depth_order(proj: Projected, counts_gid: jnp.ndarray):
+    """Global depth sort of the Gaussians (stable ranks).  `counts_gid`
+    rides along as a payload operand — at [C] scale a sort payload is ~3x
+    cheaper than a separate permutation gather (TPU scalar gathers read a
+    ~4KB tile per element).  Returns (order, counts in rank space)."""
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    return jnp.argsort(depth_key)  # [C] gaussian ids in depth order
+    C = depth_key.shape[0]
+    _, order, counts_rank = jax.lax.sort(
+        (depth_key, jnp.arange(C, dtype=jnp.int32), counts_gid), num_keys=1)
+    return order, counts_rank
 
 
-def _inverse_permutation(order: jnp.ndarray) -> jnp.ndarray:
+def _inverse_permutation(order: jnp.ndarray, *payload):
     """Rank of each gaussian id — inverse of `order`, computed by a small
-    sort (never a scatter; XLA scatters lower serially on TPU)."""
+    sort (never a scatter; XLA scatters lower serially on TPU).  Extra
+    rank-space `payload` operands come back permuted into gid space for
+    the cost of ~nothing (see _depth_order)."""
     C = order.shape[0]
-    _, inv = jax.lax.sort(
-        (order.astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)), num_keys=1)
-    return inv
+    outs = jax.lax.sort(
+        (order.astype(jnp.int32), jnp.arange(C, dtype=jnp.int32)) + payload,
+        num_keys=1)
+    return outs[1:] if payload else outs[1]
+
+
+def _segment_layout(proj, counts_gid):
+    """Depth order + the rank-sorted stream's per-Gaussian segment layout:
+    rank r's instances occupy rows [end[r]-counts[r], end[r]) of the
+    rank-sorted stream, end = inclusive cumsum of rank-space counts (the
+    pack backward's analytic segment boundaries).  Returns
+    (order, inv_order, rank_counts, seg_start_gid)."""
+    order, rank_counts = _depth_order(proj, counts_gid)
+    end_rank = _cumsum_blocked_last(rank_counts)
+    start_rank = end_rank - rank_counts
+    inv_order, seg_start_gid = _inverse_permutation(order, start_rank)
+    return order, inv_order, rank_counts, seg_start_gid
 
 
 def _candidates(proj, H, W, tile_size, per_axis, row0, col0,
@@ -270,11 +294,12 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     # lexicographic sort (same ordering, ~2x sort cost).
     packed_key = (num_tiles + 1) * C < 2 ** 31
 
-    order = _depth_order(proj)
-    inv_order = _inverse_permutation(order)
     (cand_tile, cand_valid, lost) = _candidates(
         proj, H, W, tile_size, per_axis, row0, col0,
         full_height, full_width)
+    counts_gid = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    order, inv_order, rank_counts, seg_start_gid = _segment_layout(
+        proj, counts_gid)
     rank = inv_order[:, None]              # depth rank of each gaussian id
 
     # ---- one sort = compaction + (tile, rank) ordering ----
@@ -304,10 +329,8 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
         s_tile = jnp.where(invalid, num_tiles, s_tile)
     s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
-    # per-gid candidate counts -> rank space (one [C] gather)
-    rank_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)[order]
-    return _layout(s_tile, s_rank, order, inv_order, rank_counts, num_tiles,
-                   n_dropped)
+    return _layout(s_tile, s_rank, order, inv_order, rank_counts,
+                   seg_start_gid, counts_gid, num_tiles, n_dropped)
 
 
 def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
@@ -352,13 +375,19 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
     Q = route_capacity if route_capacity else max(2 * (K // n_shards), G)
 
     i = jax.lax.axis_index(axis_name)
-    order = _depth_order(proj)
-    inv_order = _inverse_permutation(order)
     # Candidates with GLOBAL tile ids (full-image viewport), in gid order
     # (the key embeds the rank, so any fixed partition of the candidate
     # grid over devices works — device i sorts gid shard i).
     cand_tile, cand_valid, lost = _candidates(
         proj, fh, fw, tile_size, per_axis, 0, 0, fh, fw)
+    # band-restricted per-Gaussian counts (exact wrt the emitted set):
+    # this device's stream only holds instances of its own image band
+    band_lo = i * num_tiles_band
+    in_my_band = (cand_valid & (cand_tile >= band_lo)
+                  & (cand_tile < band_lo + num_tiles_band))
+    counts_gid = jnp.sum(in_my_band.astype(jnp.int32), axis=1)
+    order, inv_order, rank_counts, seg_start_gid = _segment_layout(
+        proj, counts_gid)
     rank = inv_order[:, None]
     cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
 
@@ -399,21 +428,16 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
                        s_key // C - i * num_tiles_band)
     s_rank = jnp.where(invalid, 0, s_key % C).astype(jnp.int32)
 
-    # ---- band-restricted per-rank counts (exact wrt the emitted set) ----
-    band_lo = i * num_tiles_band
-    in_my_band = (cand_valid & (cand_tile >= band_lo)
-                  & (cand_tile < band_lo + num_tiles_band))
-    rank_counts = jnp.sum(in_my_band.astype(jnp.int32), axis=1)[order]
     n_valid_band = rank_counts.sum()
     n_dropped = (jnp.maximum(n_valid_band - L, 0) + route_drops
                  + lost.sum())
 
     return _layout(s_tile, s_rank, order, inv_order, rank_counts,
-                   num_tiles_band, n_dropped)
+                   seg_start_gid, counts_gid, num_tiles_band, n_dropped)
 
 
-def _layout(s_tile, s_rank, order, inv_order, rank_counts, num_tiles,
-            n_dropped) -> Binning:
+def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
+            counts_gid, num_tiles, n_dropped) -> Binning:
     """Per-tile ranges of the sorted (tile, rank) compact instance stream.
     Shared by the replicated and the gauss-sharded binning paths.  Invalid
     (INT32_MAX-key) slots carry tile sentinel `num_tiles` and sort to the
@@ -429,6 +453,7 @@ def _layout(s_tile, s_rank, order, inv_order, rank_counts, num_tiles,
 
     return Binning(s_rank=s_rank, order=order.astype(jnp.int32),
                    inv_order=inv_order, rank_counts=rank_counts,
+                   seg_start_gid=seg_start_gid, counts_gid=counts_gid,
                    tile_start=start, tile_count=count, n_live=n_live,
                    n_dropped=n_dropped)
 
@@ -445,24 +470,31 @@ def _layout(s_tile, s_rank, order, inv_order, rank_counts, num_tiles,
 # run-structured padded gather moved ~700MB for 64MB of payload).
 #
 # Backward: XLA's automatic transpose of a gather is a scatter-add, which
-# lowers to a SERIAL loop on TPU, hence hand-written: sort compact rows by
-# depth rank (2-op int sort), segment-sum each rank's contributions via a
-# blocked prefix scan + boundary row gathers at analytically-known
-# boundaries (cumsum of `rank_counts` — no searchsorted), and un-permute
-# with `inv_order`.  Boundaries are exact whenever n_dropped == 0; under
-# capacity overflow the dropped instances never rendered (zero true
-# gradient) but the segment boundaries shift, so gradients of overflowing
-# scenes are approximate — size max_instances to the scene
-# (Binning.n_dropped is observable).
+# lowers to a SERIAL loop on TPU, hence hand-written — and GATHER-FREE on
+# the megascale axis: a [K,16] row gather reads a ~4KB tile per row (~6.6ms
+# at K=2^20 measured), while extra payload operands on an XLA TPU sort are
+# nearly free (11-op sort == 2-op sort == 1.2ms).  So the 16 gradient rows
+# ride through ONE (rank-key + 16 payload) sort as lane-dense [K] vectors;
+# each rank's contributions are then contiguous runs of length <= max_seg
+# (the candidate-duplication bound), segment-summed by ceil(log2(max_seg))
+# masked Hillis-Steele passes, and read out at the analytically-known
+# segment starts (cumsum of rank counts, carried into gid space as sort
+# payload at binning time) with one [16,K] lane-gather — no transposes, no
+# full-length prefix scan, no prefix-difference cancellation.
+# Boundaries are exact whenever n_dropped == 0; under capacity overflow the
+# dropped instances never rendered (zero true gradient) but the segment
+# boundaries shift, so gradients of overflowing scenes are approximate —
+# size max_instances to the scene (Binning.n_dropped is observable).
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def pack_instances(attrs: jnp.ndarray, s_rank: jnp.ndarray,
-                   rank_counts: jnp.ndarray, order: jnp.ndarray,
-                   inv_order: jnp.ndarray, n_live: jnp.ndarray,
-                   chunk: int) -> jnp.ndarray:
+                   seg_start_gid: jnp.ndarray, counts_gid: jnp.ndarray,
+                   order: jnp.ndarray, n_live: jnp.ndarray,
+                   chunk: int, max_seg: int) -> jnp.ndarray:
     """attrs [C, N_ROWS] per-Gaussian attributes -> inst [K//chunk, N_ROWS,
-    chunk] (the raster kernels' chunk-major stream)."""
+    chunk] (the raster kernels' chunk-major stream).  `max_seg` is the
+    static per-Gaussian duplication bound (binning per_axis**2)."""
     return _pack_run(attrs, s_rank, order, chunk)
 
 
@@ -480,45 +512,50 @@ def _pack_run(attrs, s_rank, order, G):
     return compact.T.reshape(N_ROWS, K // G, G).transpose(1, 0, 2)
 
 
-def _pack_fwd(attrs, s_rank, rank_counts, order, inv_order, n_live, chunk):
+def _pack_fwd(attrs, s_rank, seg_start_gid, counts_gid, order, n_live,
+              chunk, max_seg):
     out = _pack_run(attrs, s_rank, order, chunk)
-    return out, (s_rank, rank_counts, inv_order, n_live)
+    return out, (s_rank, seg_start_gid, counts_gid, n_live)
 
 
-def _pack_bwd(chunk, res, g):
-    s_rank, rank_counts, inv_order, n_live = res
-    C = inv_order.shape[0]
+def _pack_bwd(chunk, max_seg, res, g):
+    s_rank, seg_start_gid, counts_gid, n_live = res
+    C = seg_start_gid.shape[0]
     K = s_rank.shape[0]
     iota = jnp.arange(K, dtype=jnp.int32)
     # Dead tail rows (beyond n_live) carry sentinel key C: they sort to the
-    # back and are hard-masked below (their d values are garbage the kernel
-    # never wrote — where, not multiply: NaN * 0 = NaN).
+    # back, only ever combine with each other in the masked passes, and the
+    # readout masks them (where, not multiply: their values are garbage the
+    # kernel never wrote, and NaN * 0 = NaN).
     key = jnp.where(iota < n_live, s_rank, C)
-    sorted_key, perm = jax.lax.sort((key, iota), num_keys=1)
-    gK = jax.lax.optimization_barrier(
-        g.transpose(1, 0, 2).reshape(N_ROWS, K).T)  # materialize [K, 16]
-    sorted_vals = gK[perm]                          # one row gather [K, 16]
-    sorted_vals = jnp.where((sorted_key < C)[:, None], sorted_vals, 0.0)
-    # inclusive prefix sums per attribute row (lane-direction blocked scan:
-    # jnp.cumsum on a megasized axis lowers serially), then one relayout to
-    # row-gatherable [K+1, 16]
-    csum = _cumsum_blocked_last(sorted_vals.T).T   # [K, 16]
-    csum = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype), csum],
-                           axis=0)
-    # Segment boundaries are analytic: rows sorted by rank put rank r's
-    # instances at [end[r]-counts[r], end[r]) with end = inclusive cumsum of
-    # rank_counts — no searchsorted.
-    end = jnp.clip(_cumsum_blocked_last(rank_counts.astype(jnp.int32)),
-                   0, K)
-    start = jnp.clip(end - rank_counts, 0, K)
-    # Segment sum = prefix difference.  Segments hold at most MAX_DUP (<=64)
-    # terms, so cancellation error is ~eps * |global prefix| — acceptable at
-    # float32 for gradient use (validated against autodiff in tests).
-    d_rank = csum[end] - csum[start]               # [C, 16], rank space
+    # 16 lane-dense [K] payload rows (one fused strided read of g).
+    rows = tuple(g[:, r, :].reshape(K) for r in range(N_ROWS))
+    sorted_ops = jax.lax.sort((key,) + rows, num_keys=1)
+    skey = sorted_ops[0]
+    acc = list(sorted_ops[1:])
+    # Bounded segmented Hillis-Steele: after passes 1,2,..,2^(p-1) with
+    # 2^p >= max_seg, acc[j] holds the sum of j's full segment whenever j is
+    # the segment's first row (the same-key mask keeps every partial sum
+    # inside its own segment, so boundaries compose exactly).
+    sh = 1
+    while sh < max_seg:
+        kshift = jnp.concatenate([skey[sh:],
+                                  jnp.full((sh,), -1, skey.dtype)])
+        same = kshift == skey
+        for j in range(N_ROWS):
+            v = acc[j]
+            vsh = jnp.concatenate([v[sh:], jnp.zeros((sh,), v.dtype)])
+            acc[j] = v + jnp.where(same, vsh, 0.0)
+        sh *= 2
+    stacked = jnp.stack(acc)                       # [16, K]
+    sidx = jnp.clip(seg_start_gid, 0, K - 1)
+    dT = jnp.take(stacked, sidx, axis=1)           # [16, C] lane gather
+    valid = (counts_gid > 0) & (seg_start_gid < n_live)
+    dT = jnp.where(valid[None, :], dT, 0.0)
+    d_attrs = dT.T                                 # [C, 16] in gid order
     # ROW_RANK carries the (non-differentiable) rank stamp, not caller data.
-    d_rank = d_rank * (jnp.arange(N_ROWS) != ROW_RANK)[None, :].astype(
-        d_rank.dtype)
-    d_attrs = d_rank[inv_order]                    # back to gaussian-id space
+    d_attrs = d_attrs * (jnp.arange(N_ROWS) != ROW_RANK)[None, :].astype(
+        d_attrs.dtype)
     f0 = lambda shape: np.zeros(shape, jax_dtypes.float0)
     return (d_attrs, f0((K,)), f0((C,)), f0((C,)), f0((C,)), f0(()))
 

@@ -68,21 +68,47 @@ def _cumprod_last(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+# Lane-block width of the in-chunk prefix matmuls.  The [G,G] triangular
+# matmul is the kernels' dominant MXU cost and is quadratic in the block:
+# two chained [P,B]x[B,B] matmuls cost half the flops of one [P,2B]x[2B,2B]
+# (the inter-block carry is a [P,1] broadcast add).  128 = one full lane
+# vreg; G <= 128 keeps the single-matmul path.
+PREFIX_BLOCK = 128
+
+
+def _prefix_blocked(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
+    """Per-row prefix sum along lanes as block-triangular MXU matmuls:
+    within each PREFIX_BLOCK-wide lane block one [P,B]x[B,B] matmul, with
+    the running block total carried as a [P,1] broadcast add (blocks chain
+    serially, but nb = G/128 is tiny).  strict=True -> exclusive prefix."""
+    G = x.shape[-1]
+    B = min(PREFIX_BLOCK, G)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    tri = ((ii < jj) if strict else (ii <= jj)).astype(jnp.float32)
+    outs = []
+    carry = None
+    for b in range(G // B):
+        xb = x[:, b * B:(b + 1) * B]
+        pre = jax.lax.dot_general(xb, tri, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if carry is not None:
+            pre = pre + carry
+        outs.append(pre)
+        carry = pre[:, -1:] + (xb[:, -1:] if strict else 0.0)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _transmittance(one_minus: jnp.ndarray, T: jnp.ndarray):
-    """Per-chunk transmittance in log space with the prefix as ONE MXU
-    matmul against a strict upper-triangular ones matrix (the VPU doubling
-    cumprod was log2(G) full [P,G] passes competing with the alpha math;
-    the MXU is otherwise idle in the forward).  Returns
+    """Per-chunk transmittance in log space with the prefix as block-wise
+    MXU matmuls against a strict upper-triangular ones matrix (the VPU
+    doubling cumprod was log2(G) full [P,G] passes competing with the alpha
+    math; the MXU is otherwise idle in the forward).  Returns
     (T_before [P,G] — transmittance BEFORE each instance, T_new [P,1]).
     The 1e-30 floor keeps log finite for alpha == 1; the prefix then
     underflows exp to exactly 0, matching the product semantics."""
-    G = one_minus.shape[-1]
     lg = jnp.log(jnp.maximum(one_minus, 1e-30))
-    ii = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-    tri = (ii < jj).astype(jnp.float32)            # strict upper: i < j
-    pre = jax.lax.dot_general(lg, tri, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [P,G]
+    pre = _prefix_blocked(lg, strict=True)         # [P,G]
     T_before = T * jnp.exp(pre)
     T_new = T * jnp.exp(pre[:, -1:] + lg[:, -1:])
     return T_before, T_new
@@ -315,14 +341,10 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         u = jax.lax.dot_general(gout, cmat, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [P, G]
         uw = u * wgt
-        # inclusive prefix of u*w along G as ONE MXU matmul with the
+        # inclusive prefix of u*w along G as block-wise MXU matmuls with the
         # upper-triangular ones matrix (the VPU doubling scan competed with
         # the alpha math; the MXU is otherwise idle here)
-        ii = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
-        tri = (ii <= jj).astype(jnp.float32)
-        incl = jax.lax.dot_general(uw, tri, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32) + prefix
+        incl = _prefix_blocked(uw, strict=False) + prefix
         S = total - incl                           # suffix sum over i > j
         d_alpha = u * T_before * gate - S / jnp.maximum(one_minus, 1e-6)
 
@@ -597,8 +619,17 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
         proj.depth,
         jnp.ones_like(proj.depth),                 # ROW_ONE (alpha channel)
     ] + [zeros] * (N_ROWS - 11), axis=1)           # [C, 16]
-    inst = B.pack_instances(attrs, b.s_rank, b.rank_counts, b.order,
-                            b.inv_order, b.n_live, G)  # [K//G, 16, G]
+    # static duplication bound = the binning path's per_axis**2 (pack bwd
+    # sizes its masked doubling passes by it)
+    if use_sharded:
+        per_axis = B._per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                                     -(-fw // tile_size), -(-fh // tile_size))
+    else:
+        per_axis = B._per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                                     tiles_x, tiles_y)
+    inst = B.pack_instances(attrs, b.s_rank, b.seg_start_gid, b.counts_gid,
+                            b.order, b.n_live, G,
+                            per_axis * per_axis)   # [K//G, 16, G]
     acc = op(inst, b.tile_start, b.tile_count)     # [T, 8, P]
 
     img = acc.reshape(tiles_y, tiles_x, N_ACC, tile_size, tile_size)

@@ -80,6 +80,8 @@ ROW_X, ROW_Y, ROW_QA, ROW_QB, ROW_QC, ROW_OP = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_DEPTH, ROW_ONE = 6, 7, 8, 9, 10
 ROW_RANK = 11  # depth rank as f32, set by pack_instances (bwd sort key)
 N_ROWS = 16  # padded for clean sublane tiling; rows 12..15 unused
+GRAD_ROWS = 10  # rows 0..9 are differentiable caller data; ROW_ONE and up
+#                 are constants by the pack_instances contract (see _pack_bwd)
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -472,9 +474,11 @@ def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
 # Backward: XLA's automatic transpose of a gather is a scatter-add, which
 # lowers to a SERIAL loop on TPU, hence hand-written — and GATHER-FREE on
 # the megascale axis: a [K,16] row gather reads a ~4KB tile per row (~6.6ms
-# at K=2^20 measured), while extra payload operands on an XLA TPU sort are
-# nearly free (11-op sort == 2-op sort == 1.2ms).  So the 16 gradient rows
-# ride through ONE (rank-key + 16 payload) sort as lane-dense [K] vectors;
+# at K=2^20 measured), while payload operands on an XLA TPU sort are far
+# cheaper than gathers (though not free: sort cost grows with operand
+# count, so only the GRAD_ROWS differentiable rows ride).  The gradient
+# rows go through ONE (rank-key + GRAD_ROWS payload) sort as lane-dense
+# [K] vectors;
 # each rank's contributions are then contiguous runs of length <= max_seg
 # (the candidate-duplication bound), segment-summed by ceil(log2(max_seg))
 # masked Hillis-Steele passes, and read out at the analytically-known
@@ -528,8 +532,12 @@ def _pack_bwd(chunk, max_seg, res, g):
     # readout masks them (where, not multiply: their values are garbage the
     # kernel never wrote, and NaN * 0 = NaN).
     key = jnp.where(iota < n_live, s_rank, C)
-    # 16 lane-dense [K] payload rows (one fused strided read of g).
-    rows = tuple(g[:, r, :].reshape(K) for r in range(N_ROWS))
+    # Lane-dense [K] payload rows (one fused strided read of g) — only the
+    # GRAD_ROWS differentiable rows ride the sort: by contract the caller
+    # (rasterize_tiles) fills ROW_ONE and rows ROW_RANK.. with constants
+    # (ones / the rank stamp / zero padding), so their cotangents are dead
+    # and sort-payload bandwidth is the pack backward's dominant cost.
+    rows = tuple(g[:, r, :].reshape(K) for r in range(GRAD_ROWS))
     sorted_ops = jax.lax.sort((key,) + rows, num_keys=1)
     skey = sorted_ops[0]
     acc = list(sorted_ops[1:])
@@ -542,20 +550,19 @@ def _pack_bwd(chunk, max_seg, res, g):
         kshift = jnp.concatenate([skey[sh:],
                                   jnp.full((sh,), -1, skey.dtype)])
         same = kshift == skey
-        for j in range(N_ROWS):
+        for j in range(GRAD_ROWS):
             v = acc[j]
             vsh = jnp.concatenate([v[sh:], jnp.zeros((sh,), v.dtype)])
             acc[j] = v + jnp.where(same, vsh, 0.0)
         sh *= 2
-    stacked = jnp.stack(acc)                       # [16, K]
+    stacked = jnp.stack(acc)                       # [GRAD_ROWS, K]
     sidx = jnp.clip(seg_start_gid, 0, K - 1)
-    dT = jnp.take(stacked, sidx, axis=1)           # [16, C] lane gather
+    dT = jnp.take(stacked, sidx, axis=1)           # [GRAD_ROWS, C] lane gather
     valid = (counts_gid > 0) & (seg_start_gid < n_live)
     dT = jnp.where(valid[None, :], dT, 0.0)
-    d_attrs = dT.T                                 # [C, 16] in gid order
-    # ROW_RANK carries the (non-differentiable) rank stamp, not caller data.
-    d_attrs = d_attrs * (jnp.arange(N_ROWS) != ROW_RANK)[None, :].astype(
-        d_attrs.dtype)
+    # rows GRAD_ROWS.. are constants at the caller: zero cotangent
+    d_attrs = jnp.concatenate(
+        [dT.T, jnp.zeros((C, N_ROWS - GRAD_ROWS), dT.dtype)], axis=1)
     f0 = lambda shape: np.zeros(shape, jax_dtypes.float0)
     return (d_attrs, f0((K,)), f0((C,)), f0((C,)), f0((C,)), f0(()))
 

@@ -25,6 +25,8 @@ import numpy as np
 
 def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
           use_pallas=True, max_instances=2 ** 20):
+    from functools import partial
+
     from __graft_entry__ import _scene
     from mini3dgs_tpu.ops.renderer import RenderSettings, render
 
@@ -42,24 +44,48 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
                               gaussian_chunk=256,
                               max_dup_per_axis=5)
     target = jnp.zeros((3, height, width), jnp.float32)
+    params0 = g.params()
 
     def loss_fn(params):
         out = render(g.with_params(params), cam, settings)
         return jnp.abs(out["image"] - target).mean()
 
-    step = jax.jit(jax.grad(loss_fn))
-    return step, g.params()
+    grad_fn = jax.grad(loss_fn)
+
+    # Steady-state training-loop measurement: `iters` chained grad steps
+    # under ONE jit, each with a distinct perturbed input (the axon runtime
+    # dedupes identical executions) and a scalar data dependency between
+    # iterations (so steps execute serially on-device).  This measures the
+    # device step rate a resident training loop sees, excluding per-dispatch
+    # host/tunnel latency — the same slope methodology as scripts/profile_*.
+    @partial(jax.jit, static_argnames="iters")
+    def chain(s, iters):
+        def body(i, c):
+            p = {**params0, "xyz": params0["xyz"] * (1.0 + c * 1e-9)}
+            d = grad_fn(p)
+            return jnp.sum(d["xyz"]) * 1e-12 + c + 1e-6 * i
+
+        return jax.lax.fori_loop(0, iters, body, s)
+
+    return chain
 
 
-def time_step(step, params, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = step(params)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(params)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def time_step(chain, k1=2, k2=12, reps=3):
+    """Per-step device time as the slope between k1- and k2-iteration
+    chains (median of `reps`)."""
+    for iters in (k1, k2):
+        float(chain(jnp.float32(0.5), iters))  # compile + warm
+    pers = []
+    for j in range(reps):
+        s1 = jnp.float32(0.1 + 0.01 * j)
+        s2 = jnp.float32(0.2 + 0.01 * j)
+        t0 = time.perf_counter()
+        float(chain(s1, k1))
+        t1 = time.perf_counter()
+        float(chain(s2, k2))
+        t2 = time.perf_counter()
+        pers.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return float(np.median(pers))
 
 
 def main():
@@ -68,12 +94,12 @@ def main():
     if not on_tpu:
         # CPU smoke fallback: tiny config through the same code path.
         width = height = 64
-    step, params = build(width=width, height=height,
-                         n=100_000 if on_tpu else 2_000,
-                         capacity=2 ** 17 if on_tpu else 4096,
-                         use_pallas=on_tpu,
-                         max_instances=2 ** 20 if on_tpu else 2 ** 14)
-    dt = time_step(step, params, iters=20 if on_tpu else 3, warmup=3)
+    chain = build(width=width, height=height,
+                  n=100_000 if on_tpu else 2_000,
+                  capacity=2 ** 17 if on_tpu else 4096,
+                  use_pallas=on_tpu,
+                  max_instances=2 ** 20 if on_tpu else 2 ** 14)
+    dt = time_step(chain) if on_tpu else time_step(chain, k1=1, k2=3, reps=1)
     mpix_s = width * height / dt / 1e6
 
     vs_baseline = 1.0
@@ -84,14 +110,14 @@ def main():
         # (both paths, identical workload) — a conservative proxy, since the
         # tiled kernels' advantage grows with scene size.
         try:
-            p_step, p_params = build(width=400, height=400, n=25_000,
-                                     capacity=2 ** 15, use_pallas=True,
-                                     max_instances=2 ** 18)
-            p_dt = time_step(p_step, p_params, iters=5, warmup=2)
-            g_step, g_params = build(width=400, height=400, n=25_000,
-                                     capacity=2 ** 15, use_pallas=False,
-                                     max_instances=2 ** 18)
-            g_dt = time_step(g_step, g_params, iters=3, warmup=1)
+            p_chain = build(width=400, height=400, n=25_000,
+                            capacity=2 ** 15, use_pallas=True,
+                            max_instances=2 ** 18)
+            p_dt = time_step(p_chain, k1=2, k2=10, reps=2)
+            g_chain = build(width=400, height=400, n=25_000,
+                            capacity=2 ** 15, use_pallas=False,
+                            max_instances=2 ** 18)
+            g_dt = time_step(g_chain, k1=1, k2=3, reps=1)
             vs_baseline = g_dt / p_dt
         except Exception as e:
             print(f"baseline comparison failed: {type(e).__name__}: {e}",

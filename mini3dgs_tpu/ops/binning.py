@@ -130,16 +130,30 @@ def max_dup_for(radius_max: float, tile_size: int) -> int:
     return per_axis * per_axis
 
 
-def _tile_bounds(means2d, radius, H, W, tile_size):
+def _tile_bounds(means2d, radius, H, W, tile_size, ext_x=None, ext_y=None):
     """Integer AABB -> inclusive tile bounds (reference renderer.py:279-293).
-    int() in the reference truncates toward zero, not floor."""
+    int() in the reference truncates toward zero, not floor.  Optional
+    `ext_x`/`ext_y` (projection's exact-cull half-extents) INTERSECT the
+    reference box with the per-axis box |px - cx| <= ext: pixels outside it
+    have w < W_EPS, which the reference's skip threshold zeroes exactly, so
+    the output (forward and backward) is identical with fewer instances."""
     r = jnp.trunc(radius).astype(jnp.int32)
     cx = jnp.trunc(means2d[:, 0]).astype(jnp.int32)
     cy = jnp.trunc(means2d[:, 1]).astype(jnp.int32)
-    x0 = jnp.clip(cx - r, 0, W)
-    x1 = jnp.clip(cx + 1 + r, 0, W)
-    y0 = jnp.clip(cy - r, 0, H)
-    y1 = jnp.clip(cy + 1 + r, 0, H)
+    x0 = cx - r
+    x1 = cx + 1 + r
+    y0 = cy - r
+    y1 = cy + 1 + r
+    if ext_x is not None:
+        mx, my = means2d[:, 0], means2d[:, 1]
+        x0 = jnp.maximum(x0, jnp.floor(mx - ext_x).astype(jnp.int32))
+        x1 = jnp.minimum(x1, jnp.floor(mx + ext_x).astype(jnp.int32) + 1)
+        y0 = jnp.maximum(y0, jnp.floor(my - ext_y).astype(jnp.int32))
+        y1 = jnp.minimum(y1, jnp.floor(my + ext_y).astype(jnp.int32) + 1)
+    x0 = jnp.clip(x0, 0, W)
+    x1 = jnp.clip(x1, 0, W)
+    y0 = jnp.clip(y0, 0, H)
+    y1 = jnp.clip(y1, 0, H)
     degenerate = (x0 >= x1) | (y0 >= y1)
     tx0 = x0 // tile_size
     tx1 = (x1 - 1) // tile_size
@@ -212,32 +226,25 @@ def _segment_layout(proj, counts_gid):
     return order, inv_order, rank_counts, seg_start_gid
 
 
-def _candidates(proj, H, W, tile_size, per_axis, row0, col0,
-                full_height, full_width):
-    """Candidate tiles [C, MAX_DUP] for the [H, W] viewport at (row0, col0)
-    of the full image, in GAUSSIAN-ID order (the sort key embeds the depth
-    rank, so emission order is free — and gid order avoids three narrow
-    [C]-row gathers through the depth permutation, each of which reads a
-    ~4KB tile per row).  AABBs are computed and clamped in GLOBAL
-    coordinates (exactly like the unsharded reference, including the
-    toward-zero int truncation) and only then converted to viewport tiles,
-    so band-sharded rendering is bit-identical to single-device.
-    Returns (cand_tile [C,D] viewport-local, cand_valid [C,D],
-    lost [C] per-gid instances clamped away by the per_axis bound)."""
+def _viewport_spans(proj, H, W, tile_size, per_axis, row0, col0,
+                    full_height, full_width):
+    """Viewport-local tile origins + per_axis-clamped tile spans.  AABBs are
+    computed and clamped in GLOBAL coordinates (exactly like the unsharded
+    reference, including the toward-zero int truncation) and only then
+    converted to viewport tiles, so band-sharded rendering is bit-identical
+    to single-device.  Returns (tx0, ty0, sx, sy, ok, lost): gaussian g
+    emits tiles [tx0, tx0+sx) x [ty0, ty0+sy) (sx = sy = 0 when culled);
+    `lost` counts instances clamped away by the per_axis bound."""
     fh = full_height if full_height is not None else H
     fw = full_width if full_width is not None else W
     row0 = jnp.asarray(row0, jnp.int32)
     col0 = jnp.asarray(col0, jnp.int32)
     tiles_x = -(-W // tile_size)
     tiles_y = -(-H // tile_size)
-    MAX_DUP = per_axis * per_axis
 
-    means2d = proj.means2d
-    radius = proj.radius
-    visible = proj.visible
-
-    gx0, gx1, gy0, gy1, degen = _tile_bounds(means2d, radius, fh, fw,
-                                             tile_size)
+    gx0, gx1, gy0, gy1, degen = _tile_bounds(proj.means2d, proj.radius,
+                                             fh, fw, tile_size, proj.ext_x,
+                                             proj.ext_y)
     # global tile bounds -> viewport-local
     tx0 = gx0 - col0 // tile_size
     tx1 = gx1 - col0 // tile_size
@@ -249,41 +256,101 @@ def _candidates(proj, H, W, tile_size, per_axis, row0, col0,
     tx1 = jnp.clip(tx1, 0, tiles_x - 1)
     ty0 = jnp.clip(ty0, 0, tiles_y - 1)
     ty1 = jnp.clip(ty1, 0, tiles_y - 1)
-    ok = visible & ~degen & in_band
+    ok = proj.visible & ~degen & in_band
+
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    sx = jnp.minimum(span_x, per_axis)
+    sy = jnp.minimum(span_y, per_axis)
+    lost = jnp.where(ok, span_x * span_y - sx * sy, 0)
+    sx = jnp.where(ok, sx, 0)
+    sy = jnp.where(ok, sy, 0)
+    return tx0, ty0, sx, sy, ok, lost
+
+
+def _emit_grid(tx0, ty0, sx, sy, rank, C, tiles_x, per_axis):
+    """Packed candidate keys [N, per_axis**2]: the row-major tile grid from
+    each (tx0, ty0) with validity (ddx < sx) & (ddy < sy); key = tile * C +
+    depth rank, invalid slots INT32_MAX.  Emission is in GAUSSIAN-ID order
+    (the key embeds the rank, so emission order is free — and gid order
+    avoids narrow [C]-row gathers through the depth permutation)."""
+    MAX_DUP = per_axis * per_axis
+    d = jnp.arange(MAX_DUP, dtype=jnp.int32)
+    ddx = (d % per_axis)[None, :]
+    ddy = (d // per_axis)[None, :]
+    tile = (ty0[:, None] + ddy) * tiles_x + tx0[:, None] + ddx
+    valid = (ddx < sx[:, None]) & (ddy < sy[:, None])
+    return jnp.where(valid, tile * C + rank[:, None], _INT32_MAX)
+
+
+def _candidates(proj, H, W, tile_size, per_axis, row0, col0,
+                full_height, full_width):
+    """Candidate tiles [C, MAX_DUP] for the [H, W] viewport at (row0, col0)
+    of the full image (single-grid form, used by the sharded path).
+    Returns (cand_tile [C,D] viewport-local, cand_valid [C,D],
+    lost [C] per-gid instances clamped away by the per_axis bound)."""
+    tiles_x = -(-W // tile_size)
+    MAX_DUP = per_axis * per_axis
+    tx0, ty0, sx, sy, ok, lost = _viewport_spans(
+        proj, H, W, tile_size, per_axis, row0, col0, full_height, full_width)
 
     d = jnp.arange(MAX_DUP, dtype=jnp.int32)
     ddx = (d % per_axis)[None, :]
     ddy = (d // per_axis)[None, :]
     cand_tx = tx0[:, None] + ddx
     cand_ty = ty0[:, None] + ddy
-    cand_valid = (ok[:, None] & (cand_tx <= tx1[:, None])
-                  & (cand_ty <= ty1[:, None]))
+    cand_valid = (ddx < sx[:, None]) & (ddy < sy[:, None])
     cand_tile = cand_ty * tiles_x + cand_tx
-
-    # instances lost because an AABB exceeds the per-axis duplication bound
-    span_x = tx1 - tx0 + 1
-    span_y = ty1 - ty0 + 1
-    lost = jnp.where(ok, span_x * span_y
-                     - jnp.minimum(span_x, per_axis)
-                     * jnp.minimum(span_y, per_axis), 0)
     return cand_tile, cand_valid, lost
+
+
+# Span bound of the "small" class in the two-level candidate emission.
+_SMALL_SPAN = 2
+
+
+def _emission_plan(C, per_axis, tiles_x, num_tiles, large_capacity):
+    """Static two-level emission decision, shared by the replicated and the
+    gauss-sharded paths (the sharded path emits a single grid but mirrors
+    the stream length for shape parity with the replicated band call).
+    Returns (two_level, C_L, n_cand): two-level is used only when the packed
+    key fits, the pos/span payload packing fits (per_axis < 32, tiles_x <
+    8192), and it actually shrinks the candidate total."""
+    packed = (num_tiles + 1) * C < 2 ** 31
+    C_L = large_capacity if large_capacity > 0 else max(C // 8, 256)
+    C_L = min(-(-C_L // 128) * 128, C)
+    S = _SMALL_SPAN
+    MAX_DUP = per_axis * per_axis
+    two_level = (packed and per_axis > S and per_axis < 32
+                 and tiles_x < 8192
+                 and C * S * S + C_L * MAX_DUP < C * MAX_DUP)
+    n_cand = C * S * S + C_L * MAX_DUP if two_level else C * MAX_DUP
+    return two_level, C_L, n_cand
 
 
 @partial(jax.jit, static_argnames=("H", "W", "tile_size", "max_instances",
                                    "chunk", "radius_max", "full_height",
-                                   "full_width", "max_dup_per_axis"))
+                                   "full_width", "max_dup_per_axis",
+                                   "large_capacity"))
 def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
                   max_instances: int, chunk: int,
                   radius_max: float = 50.0,
                   row0=0, col0=0,
                   full_height: int = None, full_width: int = None,
-                  max_dup_per_axis: int = 0) -> Binning:
+                  max_dup_per_axis: int = 0,
+                  large_capacity: int = 0) -> Binning:
     """Bin into the [H, W] viewport whose top-left pixel sits at (row0, col0)
-    of a full_height x full_width image.  AABBs are computed and clamped in
-    GLOBAL coordinates (exactly like the unsharded reference, including the
-    toward-zero int truncation) and only then converted to band-local tiles,
-    so band-sharded rendering is bit-identical to single-device.  row0/col0
-    may be traced (lax.axis_index) values but must be tile_size multiples."""
+    of a full_height x full_width image.  row0/col0 may be traced
+    (lax.axis_index) values but must be tile_size multiples.
+
+    TWO-LEVEL EMISSION: the candidate sort is the binning's dominant cost
+    and its operand is the static grid, not the live instances.  Gaussians
+    spanning <= 2x2 tiles (the vast majority at any healthy tile size) emit
+    into a [C, 4] grid; the few larger ones are compacted by one cheap [C]
+    sort into `large_capacity` slots (default C/8, drops counted) that emit
+    the full [C_L, per_axis**2] grid — at the bench shape this shrinks the
+    sorted key count ~5x versus the single [C, per_axis**2] grid.  Both
+    grids produce the same packed (tile*C + rank) keys, and the final sort
+    output is a multiset — identical to single-grid emission."""
     C = proj.means2d.shape[0]
     tiles_x = -(-W // tile_size)
     tiles_y = -(-H // tile_size)
@@ -295,34 +362,70 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     # very large capacity x tile products fall back to a two-operand
     # lexicographic sort (same ordering, ~2x sort cost).
     packed_key = (num_tiles + 1) * C < 2 ** 31
+    two_level, C_L, n_cand = _emission_plan(C, per_axis, tiles_x, num_tiles,
+                                            large_capacity)
 
-    (cand_tile, cand_valid, lost) = _candidates(
+    tx0, ty0, sx, sy, ok, lost = _viewport_spans(
         proj, H, W, tile_size, per_axis, row0, col0,
         full_height, full_width)
-    counts_gid = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    counts_gid = sx * sy
     order, inv_order, rank_counts, seg_start_gid = _segment_layout(
         proj, counts_gid)
-    rank = inv_order[:, None]              # depth rank of each gaussian id
+    rank = inv_order                       # depth rank of each gaussian id
 
-    # ---- one sort = compaction + (tile, rank) ordering ----
-    # The stream length is min(max_instances, #candidates) rounded up to a
-    # whole number of kernel chunks (the raster op views it as [K//G, 16, G]).
-    K = _stream_len(max_instances, C * MAX_DUP, chunk)
-    n_valid = jnp.sum(cand_valid.astype(jnp.int32))
-    n_dropped = jnp.maximum(n_valid - K, 0) + lost.sum()
+    # ---- candidate emission + one sort = compaction + (tile, rank) order --
+    # The key embeds the depth rank, and rank indexes the depth-sorted
+    # order, so the source Gaussian id is recoverable AFTER the sort
+    # (gid = order[key % C]) — no payload operand: minimum sort bandwidth.
+    drop_large = jnp.int32(0)
+    if two_level:
+        small = ok & (sx <= _SMALL_SPAN) & (sy <= _SMALL_SPAN)
+        large = ok & ~small
+        k_small = _emit_grid(tx0, ty0,
+                             jnp.where(small, sx, 0),
+                             jnp.where(small, sy, 0),
+                             rank, C, tiles_x, _SMALL_SPAN)
+        # Compact the large gaussians to C_L slots with one [C] sort; their
+        # per-gaussian data rides as two packed payload words.
+        iota = jnp.arange(C, dtype=jnp.int32)
+        lkey = jnp.where(large, iota, _INT32_MAX)
+        pos = tx0 + ty0 * 8192
+        spn = sx + sy * 32
+        skey, lpos, lspn, lrank = jax.lax.sort((lkey, pos, spn, rank),
+                                               num_keys=1)
+        lvalid = skey[:C_L] != _INT32_MAX
+        lsx = jnp.where(lvalid, lspn[:C_L] % 32, 0)
+        lsy = jnp.where(lvalid, lspn[:C_L] // 32, 0)
+        k_large = _emit_grid(lpos[:C_L] % 8192, lpos[:C_L] // 8192,
+                             lsx, lsy, lrank[:C_L], C, tiles_x, per_axis)
+        # instances of large gaussians beyond the C_L compaction capacity
+        drop_large = (jnp.sum(jnp.where(large, counts_gid, 0))
+                      - jnp.sum(lsx * lsy))
+        cand_flat = jnp.concatenate(
+            [k_small.reshape(-1), k_large.reshape(-1)])
+    elif packed_key:
+        cand_flat = _emit_grid(tx0, ty0, sx, sy, rank, C, tiles_x,
+                               per_axis).reshape(-1)
+
+    # The stream length is min(capacity, #candidates) rounded up to a whole
+    # number of kernel chunks (the raster op views it as [K//G, 16, G]).
+    K = _stream_len(max_instances, n_cand, chunk)
+    n_valid = counts_gid.sum() - drop_large
+    n_dropped = jnp.maximum(n_valid - K, 0) + lost.sum() + drop_large
     if packed_key:
-        # The key embeds the depth rank, and rank indexes the depth-sorted
-        # order, so the source Gaussian id is recoverable AFTER the sort
-        # (gid = order[key % C]) — no payload operand: minimum sort bandwidth.
-        cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
-        s_key = _pad_to(jax.lax.sort(cand_key.reshape(-1)), K)
+        s_key = _pad_to(jax.lax.sort(cand_flat), K)
         invalid = s_key == _INT32_MAX
         s_tile = jnp.where(invalid, num_tiles, s_key // C)
         s_rank = s_key % C
     else:
         # lexicographic (tile, rank) two-operand sort
+        d = jnp.arange(MAX_DUP, dtype=jnp.int32)
+        ddx = (d % per_axis)[None, :]
+        ddy = (d // per_axis)[None, :]
+        cand_valid = (ddx < sx[:, None]) & (ddy < sy[:, None])
+        cand_tile = (ty0[:, None] + ddy) * tiles_x + tx0[:, None] + ddx
         cand_t = jnp.where(cand_valid, cand_tile, _INT32_MAX)
-        cand_r = jnp.broadcast_to(rank, (C, MAX_DUP))
+        cand_r = jnp.broadcast_to(rank[:, None], (C, MAX_DUP))
         s_tile, s_rank = jax.lax.sort(
             (cand_t.reshape(-1), cand_r.reshape(-1)), num_keys=2)
         s_tile = _pad_to(s_tile, K)
@@ -340,6 +443,7 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
                           n_shards: int, radius_max: float = 50.0,
                           full_height: int = None, full_width: int = None,
                           max_dup_per_axis: int = 0,
+                          large_capacity: int = 0,
                           route_capacity: int = None) -> Binning:
     """Gauss-sharded binning: the distributed (tile‖rank)-key sort over the
     mesh (SURVEY §2.5's sharded-sort obligation).  Must be called inside
@@ -421,9 +525,13 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
 
     # ---- merge the n sorted segments (single local sort of n*Q keys) ----
     merged = jax.lax.sort(recv.reshape(-1))
-    # same static length as the replicated path: min(K, total candidates),
-    # rounded up to whole kernel chunks
-    L = _stream_len(K, C * MAX_DUP, G)
+    # same static length as the replicated band call: min(K, the two-level
+    # plan's candidate total), rounded up to whole kernel chunks — shape
+    # parity with bin_gaussians of one band (assuming the band call derives
+    # the same per_axis, as always when the per-axis bound binds)
+    _, _, n_cand = _emission_plan(C, per_axis, gtx, num_tiles_band,
+                                  large_capacity)
+    L = _stream_len(K, n_cand, G)
     s_key = _pad_to(merged, L)
     invalid = s_key == _INT32_MAX
     s_tile = jnp.where(invalid, num_tiles_band,

@@ -37,6 +37,15 @@ class Projected(NamedTuple):
     visible: jnp.ndarray   # [C]   bool cull mask (includes alive)
     color: jnp.ndarray     # [C,3] decoded RGB
     opacity: jnp.ndarray   # [C]   sigmoid opacity
+    # Exact-cull half-extents (optional): a pixel at |px-cx| > ext_x has
+    # s = d^T Q d >= dx^2/Sigma_xx > 2 ln(1/W_EPS), i.e. its weight falls
+    # below the reference's own skip threshold (renderer.py:336) and its
+    # contribution is EXACTLY zero in forward and backward.  Binning
+    # intersects the reference AABB with this per-axis box — output-identical
+    # (the reference tile-AABB cutoff stays the outer bound) but elongated
+    # splats stop emitting whole-tile zero-weight instances.
+    ext_x: jnp.ndarray = None  # [C] pixel half-extent along x (incl. margin)
+    ext_y: jnp.ndarray = None  # [C] pixel half-extent along y
 
 
 def project_gaussians(g: Gaussians, camera: Camera, *,
@@ -125,8 +134,18 @@ def project_gaussians(g: Gaussians, camera: Camera, *,
         raise ValueError(f"unknown color_mode {color_mode!r}")
 
     opacity = jax.nn.sigmoid(g.opacity[:, 0]) * comp
+
+    # Exact-cull half-extents: s >= dx^2/Sigma_xx (conditional minimum of the
+    # quadratic form), so |dx| > sqrt(2 ln(1/W_EPS) * a) guarantees w < W_EPS
+    # — the reference's skip threshold (renderer.py:336) zeroes such
+    # contributions exactly.  +1 px margin absorbs float rounding of the
+    # sqrt and of the kernel's f32 quadratic form.
+    cull_sigma = math.sqrt(2.0 * math.log(1.0 / 1e-5))  # = raster_ref.W_EPS
+    ext_x = cull_sigma * jnp.sqrt(jnp.maximum(a, 0.0)) + 1.0
+    ext_y = cull_sigma * jnp.sqrt(jnp.maximum(c, 0.0)) + 1.0
     return Projected(means2d=means2d, conic=conic, depth=Z, radius=radius,
-                     visible=visible, color=color, opacity=opacity)
+                     visible=visible, color=color, opacity=opacity,
+                     ext_x=ext_x, ext_y=ext_y)
 
 
 def _cov3d(sigma: jnp.ndarray, rot_q: jnp.ndarray) -> jnp.ndarray:

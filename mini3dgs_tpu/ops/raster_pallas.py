@@ -563,6 +563,7 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                     gaussian_chunk: int = 256, row0=0, col0=0,
                     full_height: int = None, full_width: int = None,
                     radius_max: float = 50.0, max_dup_per_axis: int = 0,
+                    large_capacity: int = 0,
                     shard_axis: str = None, n_shards: int = 1,
                     interpret=None) -> dict:
     """Full Pallas raster path: binning -> fused tile kernel -> epilogue.
@@ -592,12 +593,14 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                                     shard_axis, n_shards,
                                     radius_max=radius_max,
                                     full_height=fh, full_width=fw,
-                                    max_dup_per_axis=max_dup_per_axis)
+                                    max_dup_per_axis=max_dup_per_axis,
+                                    large_capacity=large_capacity)
     else:
         b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
                             radius_max=radius_max, row0=row0, col0=col0,
                             full_height=full_height, full_width=full_width,
-                            max_dup_per_axis=max_dup_per_axis)
+                            max_dup_per_axis=max_dup_per_axis,
+                            large_capacity=large_capacity)
     K = b.s_rank.shape[0]
     assert K % G == 0, "binning pads the stream to whole kernel chunks"
     # binning rebases instance coordinates to the band, so the kernel always

@@ -51,6 +51,9 @@ class RenderSettings:
     # 0 = derive from radius_max (exact); >0 trades completeness of huge
     # splats for a (value/8)^2-smaller candidate sort (drops counted)
     max_dup_per_axis: int = struct.field(pytree_node=False, default=0)
+    # capacity of the two-level binning's large-gaussian (span > 2x2) slot
+    # pool; 0 = C/8.  Overflow drops are counted in binning n_dropped.
+    large_capacity: int = struct.field(pytree_node=False, default=0)
     # Tile-sharding offsets: this invocation renders rows [row0, row0+H).
     row0: int = struct.field(pytree_node=False, default=0)
     col0: int = struct.field(pytree_node=False, default=0)
@@ -82,6 +85,7 @@ def render(gaussians: Gaussians, camera: Camera,
                               gaussian_chunk=settings.gaussian_chunk,
                               radius_max=settings.radius_max,
                               max_dup_per_axis=settings.max_dup_per_axis,
+                              large_capacity=settings.large_capacity,
                               row0=settings.row0, col0=settings.col0)
     else:
         out = raster_ref.rasterize_image(

@@ -1,4 +1,4 @@
-"""Trimmed stage split at the bench config (tile 32, G=256, DUP=5, K=2^20):
+"""Trimmed stage split at the bench config (tile 32, G=256, DUP=3, K=2^19):
 proj+binning / +pack fwd / full fwd / full fwd+bwd.  Slope methodology."""
 
 import sys
@@ -46,8 +46,8 @@ def main():
     C = 2 ** 17
     G = 256
     TS = 32
-    K = 2 ** 20
-    DUP = 5
+    K = 2 ** 19
+    DUP = 3
     g, cam = _scene(capacity=C, n=100_000, width=W, height=H)
     settings = RenderSettings(image_height=H, image_width=W, use_pallas=True,
                               max_instances=K, gaussian_chunk=G, tile_size=TS,

@@ -249,3 +249,89 @@ def test_pallas_matches_golden_other_tile_sizes(ts):
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
                                    err_msg=name)
+
+
+def _mixed_span_scene(capacity=2048, n=300, seed=9):
+    """Scene with both small (span <= 2x2) and large (span >= 3) gaussians at
+    a capacity big enough to activate two-level candidate emission."""
+    rng = np.random.default_rng(seed)
+    xyz = np.concatenate([rng.uniform(-0.5, 0.5, (n, 2)),
+                          rng.uniform(0.6, 3.0, (n, 1))], axis=1)
+    sig = rng.uniform(0.005, 0.05, (n, 3))
+    sig[: n // 8] = rng.uniform(0.15, 0.4, (n // 8, 3))  # big splats
+    col = rng.uniform(0, 1, (n, 3))
+    op = rng.uniform(0.2, 0.95, n)
+    return make_gaussians(xyz, sig, col, op, capacity=capacity)
+
+
+def test_two_level_binning_matches_single_grid():
+    """Two-level (small-grid + compacted-large-grid) emission must produce
+    the identical sorted stream as single-grid emission: the candidate key
+    multiset is the same, only the emission layout differs.
+    large_capacity=C degenerates the plan to single-grid (no shrink)."""
+    from mini3dgs_tpu.ops import binning
+    from mini3dgs_tpu.ops.projection import project_gaussians
+
+    cam = identity_camera(64, 64, 70.0)
+    gs = _mixed_span_scene()
+    proj = project_gaussians(gs, cam)
+    C = proj.means2d.shape[0]
+    assert binning._emission_plan(C, 4, 4, 16, 0)[0]          # two-level on
+    assert not binning._emission_plan(C, 4, 4, 16, C)[0]      # forced off
+    b2 = binning.bin_gaussians(proj, 64, 64, 16, 8192, 32)
+    b1 = binning.bin_gaussians(proj, 64, 64, 16, 8192, 32, large_capacity=C)
+    assert int(b2.n_dropped) == 0 and int(b1.n_dropped) == 0
+    assert int(b2.n_live) == int(b1.n_live)
+    L = min(b1.s_rank.shape[0], b2.s_rank.shape[0])
+    np.testing.assert_array_equal(np.asarray(b2.s_rank)[:L],
+                                  np.asarray(b1.s_rank)[:L])
+    np.testing.assert_array_equal(np.asarray(b2.tile_start),
+                                  np.asarray(b1.tile_start))
+    np.testing.assert_array_equal(np.asarray(b2.tile_count),
+                                  np.asarray(b1.tile_count))
+
+
+def test_two_level_large_overflow_counts_drops():
+    """Large gaussians beyond large_capacity are dropped and counted."""
+    from mini3dgs_tpu.ops import binning
+    from mini3dgs_tpu.ops.projection import project_gaussians
+
+    cam = identity_camera(64, 64, 70.0)
+    gs = _mixed_span_scene()
+    proj = project_gaussians(gs, cam)
+    b_full = binning.bin_gaussians(proj, 64, 64, 16, 8192, 32)
+    # 37 large gaussians in the scene; cap the pool at 128 slots via the
+    # rounding floor (128 is the minimum nonzero capacity)
+    b_cap = binning.bin_gaussians(proj, 64, 64, 16, 8192, 32,
+                                  large_capacity=128)
+    n_full = int(b_full.n_live)
+    n_cap = int(b_cap.n_live)
+    if n_cap < n_full:  # overflow occurred
+        assert int(b_cap.n_dropped) == n_full - n_cap
+    else:
+        assert int(b_cap.n_dropped) == 0
+
+
+def test_two_level_render_matches_golden():
+    """Full render parity on a mixed-span scene through the two-level path."""
+    cam = identity_camera(64, 64, 70.0)
+    gs = _mixed_span_scene()
+    g_set = RenderSettings(image_height=64, image_width=64, use_pallas=False)
+    p_set = RenderSettings(image_height=64, image_width=64, use_pallas=True,
+                           max_instances=8192, gaussian_chunk=32)
+    out_g = render(gs, cam, g_set)
+    out_p = render(gs, cam, p_set)
+    np.testing.assert_allclose(np.asarray(out_p["image"]),
+                               np.asarray(out_g["image"]), atol=3e-5)
+
+    def loss(params, settings):
+        return jnp.mean(render(gs.with_params(params), cam,
+                               settings)["image"] ** 2)
+
+    gg = jax.grad(lambda p: loss(p, g_set))(gs.params())
+    gp = jax.grad(lambda p: loss(p, p_set))(gs.params())
+    for name in ("xyz", "opacity", "scaling"):
+        a, b = np.asarray(gp[name]), np.asarray(gg[name])
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
+                                   err_msg=name)

@@ -100,7 +100,7 @@ def main():
                   n=100_000 if on_tpu else 2_000,
                   capacity=2 ** 17 if on_tpu else 4096,
                   use_pallas=on_tpu,
-                  max_instances=2 ** 20 if on_tpu else 2 ** 14)
+                  max_instances=2 ** 19 if on_tpu else 2 ** 14)
     dt = time_step(chain) if on_tpu else time_step(chain, k1=1, k2=3, reps=1)
     mpix_s = width * height / dt / 1e6
 

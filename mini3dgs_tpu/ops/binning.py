@@ -78,8 +78,7 @@ class Binning(NamedTuple):
 # Packed-instance row layout (shared with the Pallas kernels):
 ROW_X, ROW_Y, ROW_QA, ROW_QB, ROW_QC, ROW_OP = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_DEPTH, ROW_ONE = 6, 7, 8, 9, 10
-ROW_RANK = 11  # depth rank as f32, set by pack_instances (bwd sort key)
-N_ROWS = 16  # padded for clean sublane tiling; rows 12..15 unused
+N_ROWS = 16  # padded for clean sublane tiling; rows 11..15 unused
 GRAD_ROWS = 10  # rows 0..9 are differentiable caller data; ROW_ONE and up
 #                 are constants by the pack_instances contract (see _pack_bwd)
 
@@ -283,29 +282,43 @@ def _emit_grid(tx0, ty0, sx, sy, rank, C, tiles_x, per_axis):
     return jnp.where(valid, tile * C + rank[:, None], _INT32_MAX)
 
 
-def _candidates(proj, H, W, tile_size, per_axis, row0, col0,
-                full_height, full_width):
-    """Candidate tiles [C, MAX_DUP] for the [H, W] viewport at (row0, col0)
-    of the full image (single-grid form, used by the sharded path).
-    Returns (cand_tile [C,D] viewport-local, cand_valid [C,D],
-    lost [C] per-gid instances clamped away by the per_axis bound)."""
-    tiles_x = -(-W // tile_size)
-    MAX_DUP = per_axis * per_axis
-    tx0, ty0, sx, sy, ok, lost = _viewport_spans(
-        proj, H, W, tile_size, per_axis, row0, col0, full_height, full_width)
-
-    d = jnp.arange(MAX_DUP, dtype=jnp.int32)
-    ddx = (d % per_axis)[None, :]
-    ddy = (d // per_axis)[None, :]
-    cand_tx = tx0[:, None] + ddx
-    cand_ty = ty0[:, None] + ddy
-    cand_valid = (ddx < sx[:, None]) & (ddy < sy[:, None])
-    cand_tile = cand_ty * tiles_x + cand_tx
-    return cand_tile, cand_valid, lost
-
-
 # Span bound of the "small" class in the two-level candidate emission.
 _SMALL_SPAN = 2
+
+
+def _emit_two_level(tx0, ty0, sx, sy, ok, rank, C_key, tiles_x, per_axis,
+                    C_L):
+    """Two-level candidate emission (see bin_gaussians docstring): gaussians
+    spanning <= _SMALL_SPAN per axis emit a [N,4] grid; the rest are
+    compacted by one [N] sort into C_L slots emitting the full per_axis**2
+    grid.  `C_key` is the key modulus (the GLOBAL capacity — ranks are
+    global even when emitting a gid shard).  Returns (cand_flat [N*4 +
+    C_L*per_axis**2], drop_large: instances of large gaussians beyond the
+    C_L compaction capacity)."""
+    N = tx0.shape[0]
+    small = ok & (sx <= _SMALL_SPAN) & (sy <= _SMALL_SPAN)
+    large = ok & ~small
+    k_small = _emit_grid(tx0, ty0,
+                         jnp.where(small, sx, 0),
+                         jnp.where(small, sy, 0),
+                         rank, C_key, tiles_x, _SMALL_SPAN)
+    # Compact the large gaussians to C_L slots with one [N] sort; their
+    # per-gaussian data rides as two packed payload words.
+    iota = jnp.arange(N, dtype=jnp.int32)
+    lkey = jnp.where(large, iota, _INT32_MAX)
+    pos = tx0 + ty0 * 8192
+    spn = sx + sy * 32
+    skey, lpos, lspn, lrank = jax.lax.sort((lkey, pos, spn, rank),
+                                           num_keys=1)
+    lvalid = skey[:C_L] != _INT32_MAX
+    lsx = jnp.where(lvalid, lspn[:C_L] % 32, 0)
+    lsy = jnp.where(lvalid, lspn[:C_L] // 32, 0)
+    k_large = _emit_grid(lpos[:C_L] % 8192, lpos[:C_L] // 8192,
+                         lsx, lsy, lrank[:C_L], C_key, tiles_x, per_axis)
+    drop_large = (jnp.sum(jnp.where(large, sx * sy, 0))
+                  - jnp.sum(lsx * lsy))
+    cand_flat = jnp.concatenate([k_small.reshape(-1), k_large.reshape(-1)])
+    return cand_flat, drop_large
 
 
 def _emission_plan(C, per_axis, tiles_x, num_tiles, large_capacity):
@@ -379,30 +392,8 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     # (gid = order[key % C]) — no payload operand: minimum sort bandwidth.
     drop_large = jnp.int32(0)
     if two_level:
-        small = ok & (sx <= _SMALL_SPAN) & (sy <= _SMALL_SPAN)
-        large = ok & ~small
-        k_small = _emit_grid(tx0, ty0,
-                             jnp.where(small, sx, 0),
-                             jnp.where(small, sy, 0),
-                             rank, C, tiles_x, _SMALL_SPAN)
-        # Compact the large gaussians to C_L slots with one [C] sort; their
-        # per-gaussian data rides as two packed payload words.
-        iota = jnp.arange(C, dtype=jnp.int32)
-        lkey = jnp.where(large, iota, _INT32_MAX)
-        pos = tx0 + ty0 * 8192
-        spn = sx + sy * 32
-        skey, lpos, lspn, lrank = jax.lax.sort((lkey, pos, spn, rank),
-                                               num_keys=1)
-        lvalid = skey[:C_L] != _INT32_MAX
-        lsx = jnp.where(lvalid, lspn[:C_L] % 32, 0)
-        lsy = jnp.where(lvalid, lspn[:C_L] // 32, 0)
-        k_large = _emit_grid(lpos[:C_L] % 8192, lpos[:C_L] // 8192,
-                             lsx, lsy, lrank[:C_L], C, tiles_x, per_axis)
-        # instances of large gaussians beyond the C_L compaction capacity
-        drop_large = (jnp.sum(jnp.where(large, counts_gid, 0))
-                      - jnp.sum(lsx * lsy))
-        cand_flat = jnp.concatenate(
-            [k_small.reshape(-1), k_large.reshape(-1)])
+        cand_flat, drop_large = _emit_two_level(
+            tx0, ty0, sx, sy, ok, rank, C, tiles_x, per_axis, C_L)
     elif packed_key:
         cand_flat = _emit_grid(tx0, ty0, sx, sy, rank, C, tiles_x,
                                per_axis).reshape(-1)
@@ -481,25 +472,37 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
     Q = route_capacity if route_capacity else max(2 * (K // n_shards), G)
 
     i = jax.lax.axis_index(axis_name)
-    # Candidates with GLOBAL tile ids (full-image viewport), in gid order
+    # Spans with GLOBAL tile ids (full-image viewport), in gid order
     # (the key embeds the rank, so any fixed partition of the candidate
-    # grid over devices works — device i sorts gid shard i).
-    cand_tile, cand_valid, lost = _candidates(
+    # set over devices works — device i emits and sorts gid shard i).
+    tx0, ty0, sx, sy, ok, lost = _viewport_spans(
         proj, fh, fw, tile_size, per_axis, 0, 0, fh, fw)
     # band-restricted per-Gaussian counts (exact wrt the emitted set):
-    # this device's stream only holds instances of its own image band
-    band_lo = i * num_tiles_band
-    in_my_band = (cand_valid & (cand_tile >= band_lo)
-                  & (cand_tile < band_lo + num_tiles_band))
-    counts_gid = jnp.sum(in_my_band.astype(jnp.int32), axis=1)
+    # this device's stream only holds instances of its own image band,
+    # i.e. tile rows [i*band_ty, (i+1)*band_ty) of each gaussian's grid
+    band_ty = H // tile_size
+    oy = (jnp.minimum(ty0 + sy, (i + 1) * band_ty)
+          - jnp.maximum(ty0, i * band_ty))
+    counts_gid = sx * jnp.clip(oy, 0, None)
     order, inv_order, rank_counts, seg_start_gid = _segment_layout(
         proj, counts_gid)
-    rank = inv_order[:, None]
-    cand_key = jnp.where(cand_valid, cand_tile * C + rank, _INT32_MAX)
+    rank = inv_order
 
-    # ---- local sort of this device's gid shard ----
-    local = jax.lax.dynamic_slice(cand_key, (i * Cs, 0), (Cs, MAX_DUP))
-    s_local = jax.lax.sort(local.reshape(-1))          # [Cs * MAX_DUP]
+    # ---- local candidate emission + sort of this device's gid shard ----
+    # (two-level exactly like the replicated path, sized to the shard)
+    two_level_l, C_L_l, _ = _emission_plan(Cs, per_axis, gtx, total_tiles,
+                                           large_capacity)
+    sl = lambda a: jax.lax.dynamic_slice(a, (i * Cs,), (Cs,))
+    if two_level_l:
+        cand_flat, drop_large = _emit_two_level(
+            sl(tx0), sl(ty0), sl(sx), sl(sy), sl(ok), sl(rank), C,
+            gtx, per_axis, C_L_l)
+        drop_large = jax.lax.psum(drop_large, axis_name)
+    else:
+        cand_flat = _emit_grid(sl(tx0), sl(ty0), sl(sx), sl(sy), sl(rank),
+                               C, gtx, per_axis).reshape(-1)
+        drop_large = jnp.int32(0)
+    s_local = jax.lax.sort(cand_flat)
 
     # ---- per-band segments (bands are contiguous global-tile-id ranges) --
     bkeys = (jnp.arange(n_shards + 1, dtype=jnp.int32)
@@ -540,7 +543,7 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
 
     n_valid_band = rank_counts.sum()
     n_dropped = (jnp.maximum(n_valid_band - L, 0) + route_drops
-                 + lost.sum())
+                 + lost.sum() + drop_large)
 
     return _layout(s_tile, s_rank, order, inv_order, rank_counts,
                    seg_start_gid, counts_gid, num_tiles_band, n_dropped)
@@ -571,13 +574,13 @@ def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
 # ---------------------------------------------------------------------------
 # Instance packing with a scatter-free hand-written VJP, in depth-rank space.
 #
-# Forward: attrs are re-sorted once into depth order and stamped with their
-# depth rank in ROW_RANK ([C,16] row gather), then compacted by `s_rank`
-# (ONE [K,16] row gather) and relaid out as the raster kernels' chunked
-# [K//G, 16, G] stream.  There is no padded expansion: tile starts are
-# unaligned in the compact stream and the kernels mask boundary-chunk lanes
-# (a TPU [N,16] f32 array is physically lane-padded to [N,128], so the old
-# run-structured padded gather moved ~700MB for 64MB of payload).
+# Forward: attrs are re-sorted once into depth order and compacted by
+# `s_rank`, both as LANE gathers on a [16, *] layout, then relaid out as the
+# raster kernels' chunked [K//G, 16, G] stream.  There is no padded
+# expansion: tile starts are unaligned in the compact stream and the kernels
+# mask boundary-chunk lanes (a TPU [N,16] f32 array is physically lane-padded
+# to [N,128], so the old run-structured padded ROW gather moved ~700MB for
+# 64MB of payload; lane gathers run at full bandwidth).
 #
 # Backward: XLA's automatic transpose of a gather is a scatter-add, which
 # lowers to a SERIAL loop on TPU, hence hand-written — and GATHER-FREE on
@@ -613,15 +616,14 @@ def pack_instances(attrs: jnp.ndarray, s_rank: jnp.ndarray,
 def _pack_run(attrs, s_rank, order, G):
     C = attrs.shape[0]
     K = s_rank.shape[0]
-    attrs_sorted = attrs[order]
-    ranks = jnp.arange(C, dtype=jnp.float32)[:, None]
-    attrs_sorted = jnp.concatenate(
-        [attrs_sorted[:, :ROW_RANK], ranks, attrs_sorted[:, ROW_RANK + 1:]],
-        axis=1)
-    compact = attrs_sorted[s_rank]                 # [K, 16]
+    # All gathers LANE-DENSE along a [16, *] layout: a [K,16] row gather
+    # reads a ~4KB lane-padded tile per row, while lane gathers run at
+    # full bandwidth; this also deletes the [K,16] -> [16,K] transpose.
+    tab = jnp.take(attrs.T, order, axis=1)         # [16, C] depth order
+    compact = jnp.take(tab, s_rank, axis=1)        # [16, K]
     # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
     # chunk dim must be the major (untiled) one for Mosaic
-    return compact.T.reshape(N_ROWS, K // G, G).transpose(1, 0, 2)
+    return compact.reshape(N_ROWS, K // G, G).transpose(1, 0, 2)
 
 
 def _pack_fwd(attrs, s_rank, seg_start_gid, counts_gid, order, n_live,
@@ -642,7 +644,7 @@ def _pack_bwd(chunk, max_seg, res, g):
     key = jnp.where(iota < n_live, s_rank, C)
     # Lane-dense [K] payload rows (one fused strided read of g) — only the
     # GRAD_ROWS differentiable rows ride the sort: by contract the caller
-    # (rasterize_tiles) fills ROW_ONE and rows ROW_RANK.. with constants
+    # (rasterize_tiles) fills ROW_ONE and the rows above it with constants
     # (ones / the rank stamp / zero padding), so their cotangents are dead
     # and sort-payload bandwidth is the pack backward's dominant cost.
     rows = tuple(g[:, r, :].reshape(K) for r in range(GRAD_ROWS))

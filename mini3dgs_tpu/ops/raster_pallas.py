@@ -138,7 +138,12 @@ def _chunk_alpha(ch, px, py, head, count, ci, G):
     """Shared fwd/bwd per-chunk alpha math.  ch: [16,G] VMEM chunk.
     `head` = start % G: the tile's instances occupy stream rows
     [head, head + count) relative to its first (unaligned) chunk — lanes
-    outside that window belong to neighboring tiles and are masked."""
+    outside that window belong to neighboring tiles and are masked.
+    The conic rows are PRE-SCALED at pack time (qa,qc by -0.5, qb by -1,
+    see rasterize_tiles) so the quadratic form IS log w — saving two [P,G]
+    multiplies per pair versus s-then-(-0.5s); exp >= 0 and op*w >= 0
+    always, so only the upper clamps survive (reference renderer.py:334,339
+    semantics unchanged)."""
     x = ch[B.ROW_X:B.ROW_X + 1, :]
     y = ch[B.ROW_Y:B.ROW_Y + 1, :]
     qa = ch[B.ROW_QA:B.ROW_QA + 1, :]
@@ -146,14 +151,15 @@ def _chunk_alpha(ch, px, py, head, count, ci, G):
     qc = ch[B.ROW_QC:B.ROW_QC + 1, :]
     op = ch[B.ROW_OP:B.ROW_OP + 1, :]
     lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + ci * G
-    valid = ((lidx >= head) & (lidx < head + count)).astype(jnp.float32)
+    valid = (lidx >= head) & (lidx < head + count)   # [1,G] bool
     dx = px - x                                   # [P, G]
     dy = py - y
-    s = dx * dx * qa + 2.0 * dx * dy * qb + dy * dy * qc
-    w = jnp.clip(jnp.exp(-0.5 * s), 0.0, 1.0)
+    lw = dx * dx * qa + dx * dy * qb + dy * dy * qc  # = -0.5 s
+    w = jnp.minimum(jnp.exp(lw), 1.0)
     a_raw = op * w
-    alpha = jnp.clip(a_raw, 0.0, 1.0) * (w >= W_EPS).astype(jnp.float32) * valid
-    return dict(dx=dx, dy=dy, x=x, y=y, qa=qa, qb=qb, qc=qc, op=op, w=w,
+    alpha = jnp.where((w >= W_EPS) & valid,
+                      jnp.minimum(a_raw, 1.0), 0.0)
+    return dict(x=x, y=y, qa=qa, qb=qb, qc=qc, op=op, w=w,
                 a_raw=a_raw, alpha=alpha, valid=valid)
 
 
@@ -342,8 +348,10 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
                                 preferred_element_type=jnp.float32)  # [P, G]
         uw = u * wgt
         # inclusive prefix of u*w along G as block-wise MXU matmuls with the
-        # upper-triangular ones matrix (the VPU doubling scan competed with
-        # the alpha math; the MXU is otherwise idle here)
+        # upper-triangular ones matrix (measured: the VPU doubling scan here
+        # costs ~5 ms/step — 8 full [P,G] lane-shifted passes of VMEM traffic
+        # lose to the MXU even though the MXU also runs the transmittance
+        # prefix and the moment matmul)
         incl = _prefix_blocked(uw, strict=False) + prefix
         S = total - incl                           # suffix sum over i > j
         d_alpha = u * T_before * gate - S / jnp.maximum(one_minus, 1e-6)
@@ -351,25 +359,25 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         # chain through alpha = clip(op*w,0,1)*(w>=eps)*valid
         w = m["w"]
         mask = ((m["a_raw"] < 1.0) & (m["a_raw"] > 0.0)
-                & (w >= W_EPS)).astype(jnp.float32) * m["valid"]
+                & (w >= W_EPS) & m["valid"]).astype(jnp.float32)
         d_aw = d_alpha * mask                      # d(op*w)
         d_op_pix = d_aw * w
         d_w = d_aw * m["op"]
-        # w = clip(exp(-0.5 s), 0, 1); s >= 0 so only the upper clamp can bind
-        d_s = -0.5 * w * d_w * (w < 1.0).astype(jnp.float32)
+        # w = min(exp(lw), 1); lw <= 0 so only the upper clamp can bind
+        d_lw = w * d_w * (w < 1.0).astype(jnp.float32)
 
         # Conic/mean gradients via pixel MOMENTS: dx = px - x is separable,
-        # so e.g. colsum(d_s*dx^2) = Sxx - 2x*Sx + x^2*S0 with
-        # S* = sum_p d_s * [1, px, py, px^2, px*py, py^2] — ONE [6,P]x[P,G]
+        # so e.g. colsum(d_lw*dx^2) = Sxx - 2x*Sx + x^2*S0 with
+        # S* = sum_p d_lw * [1, px, py, px^2, px*py, py^2] — ONE [6,P]x[P,G]
         # MXU matmul replaces five [P,G] elementwise chains and six
         # cross-sublane column reductions (the bwd kernel was VPU-bound).
         # Pixel coords are TILE-LOCAL (Mpix/xl below) so the expansion's
         # cancellation stays at the footprint scale, not the image scale.
-        rhs = jnp.concatenate([wgt, d_s, d_op_pix], axis=0)  # [3P, G]
+        rhs = jnp.concatenate([wgt, d_lw, d_op_pix], axis=0)  # [3P, G]
         out15 = jax.lax.dot_general(Lmat, rhs, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         d_cmat = out15[0:N_ACC, :]                 # gout x wgt  [8, G]
-        mom = out15[N_ACC:N_ACC + 6, :]            # Mpix x d_s  [6, G]
+        mom = out15[N_ACC:N_ACC + 6, :]            # Mpix x d_lw [6, G]
         d_op_row = out15[N_ACC + 6:N_ACC + 7, :]   # ones x d_op_pix
         S0 = mom[0:1, :]
         Sx = mom[1:2, :]
@@ -379,13 +387,14 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         Syy = mom[5:6, :]
         xl = m["x"] - cx0                          # [1,G] tile-local centers
         yl = m["y"] - cy0
-        qa, qb, qc = m["qa"], m["qb"], m["qc"]
-        cx_ = Sx - xl * S0                         # colsum(d_s * dx)
+        qa, qb, qc = m["qa"], m["qb"], m["qc"]     # pre-scaled rows
+        cx_ = Sx - xl * S0                         # colsum(d_lw * dx)
         cy_ = Sy - yl * S0
-        d_x_row = -(2.0 * qa * cx_ + 2.0 * qb * cy_)
-        d_y_row = -(2.0 * qc * cy_ + 2.0 * qb * cx_)
+        # lw = dx^2 qa + dx dy qb + dy^2 qc; d/dx = -(2 dx qa + dy qb)
+        d_x_row = -(2.0 * qa * cx_ + qb * cy_)
+        d_y_row = -(2.0 * qc * cy_ + qb * cx_)
         d_qa_row = Sxx - xl * (2.0 * Sx - xl * S0)
-        d_qb_row = 2.0 * (Sxy - xl * Sy - yl * Sx + xl * yl * S0)
+        d_qb_row = Sxy - xl * Sy - yl * Sx + xl * yl * S0
         d_qc_row = Syy - yl * (2.0 * Sy - yl * S0)
         d_chunk = jnp.concatenate([
             d_x_row,                               # ROW_X
@@ -616,7 +625,11 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     attrs = jnp.stack([
         proj.means2d[:, 0] - jnp.float32(col0),    # ROW_X (band-local)
         proj.means2d[:, 1] - jnp.float32(row0),    # ROW_Y
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        # conic rows pre-scaled so the kernel's quadratic form is log w
+        # directly (see _chunk_alpha); the VJP chains the scale back here
+        -0.5 * proj.conic[:, 0],
+        -proj.conic[:, 1],
+        -0.5 * proj.conic[:, 2],
         proj.opacity,
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         proj.depth,

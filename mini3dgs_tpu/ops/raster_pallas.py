@@ -125,6 +125,25 @@ def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _uw_prefix(uw: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix of u*w along G as block-wise MXU matmuls with the
+    upper-triangular ones matrix (measured: the VPU doubling scan here costs
+    ~5 ms/step — 8 full [P,G] lane-shifted passes of VMEM traffic lose to
+    the MXU even though the MXU also runs the transmittance prefix and the
+    moment matmul)."""
+    return _prefix_blocked(uw, strict=False)
+
+
+def _bwd_moments(Lmat, wgt, d_lw, d_op_pix):
+    """ONE block-diagonal [15,3P]x[3P,G] MXU matmul computing d_cmat
+    (gout x wgt), the six pixel moments (Mpix x d_lw), and the opacity
+    column sum (ones x d_op_pix) together — three independent small matmuls
+    serialized per chunk cost more in MXU latency than one wider one."""
+    rhs = jnp.concatenate([wgt, d_lw, d_op_pix], axis=0)  # [3P, G]
+    return jax.lax.dot_general(Lmat, rhs, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _pixel_coords(t, tile_size, tiles_x, row0, col0, P):
     ty = t // tiles_x
     tx = t % tiles_x
@@ -228,8 +247,8 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
 # ======================== backward kernel ========================
 
 def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
-                dinst_hbm, dhead_hbm, chunk_ref, dchunk_ref, sem, wsem,
-                *, tile_size, tiles_x, G, row0, col0):
+                dmain_init, dhead_init, dinst_hbm, dhead_hbm, chunk_ref,
+                dchunk_ref, sem, wsem, *, tile_size, tiles_x, G, row0, col0):
     # dchunk_ref/wsem are double-buffered [2, ...]: the write DMA of chunk i
     # overlaps the compute of chunk i+1 (waiting per chunk serialized the
     # whole backward sweep on DMA latency).
@@ -347,12 +366,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         u = jax.lax.dot_general(gout, cmat, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [P, G]
         uw = u * wgt
-        # inclusive prefix of u*w along G as block-wise MXU matmuls with the
-        # upper-triangular ones matrix (measured: the VPU doubling scan here
-        # costs ~5 ms/step — 8 full [P,G] lane-shifted passes of VMEM traffic
-        # lose to the MXU even though the MXU also runs the transmittance
-        # prefix and the moment matmul)
-        incl = _prefix_blocked(uw, strict=False) + prefix
+        incl = _uw_prefix(uw) + prefix
         S = total - incl                           # suffix sum over i > j
         d_alpha = u * T_before * gate - S / jnp.maximum(one_minus, 1e-6)
 
@@ -373,9 +387,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         # cross-sublane column reductions (the bwd kernel was VPU-bound).
         # Pixel coords are TILE-LOCAL (Mpix/xl below) so the expansion's
         # cancellation stays at the footprint scale, not the image scale.
-        rhs = jnp.concatenate([wgt, d_lw, d_op_pix], axis=0)  # [3P, G]
-        out15 = jax.lax.dot_general(Lmat, rhs, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+        out15 = _bwd_moments(Lmat, wgt, d_lw, d_op_pix)
         d_cmat = out15[0:N_ACC, :]                 # gout x wgt  [8, G]
         mom = out15[N_ACC:N_ACC + 6, :]            # Mpix x d_lw [6, G]
         d_op_row = out15[N_ACC + 6:N_ACC + 7, :]   # ones x d_op_pix
@@ -427,13 +439,19 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
             jnp.zeros((P, 1), jnp.float32))
     stop_ci, _, _ = jax.lax.while_loop(cond, body, init)
 
+    # Chunks skipped by early exit, stream-tail chunks, and head rows of
+    # tiles with an aligned/empty head are never written: the gradient
+    # outputs are ALIASED to caller-provided zero buffers (dmain_init /
+    # dhead_init via input_output_aliases), so unwritten slots are exact
+    # zeros — the former in-kernel serial per-chunk zero-fill DMA loop
+    # cost real milliseconds.
+
     # Drain any in-flight prefetch after an early exit.
     @pl.when(stop_ci < n_chunks)
     def _():
         dma(stop_ci).wait()
 
-    # Drain the (up to two) in-flight gradient writes before their buffers
-    # are reused by the zero-fill below.
+    # Drain the (up to two) in-flight gradient writes.
     @pl.when(stop_ci >= 1)
     def _():
         wwait(stop_ci - 1)
@@ -441,32 +459,6 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     @pl.when(stop_ci >= 2)
     def _():
         wwait(stop_ci - 2)
-
-    # Chunks skipped by early exit still own slots in d_inst, and tiles with
-    # an aligned/empty head never wrote dhead_hbm[t]: write zeros so the
-    # merge epilogue and pack backward see exact zero gradients, not
-    # garbage.  (stop_ci >= 1 whenever n_chunks > 0, so the zero-fill loop
-    # below only ever targets primary chunks — never the head buffer.)
-    head_written = (n_chunks > 0) & (head > 0)
-
-    @pl.when((stop_ci < n_chunks) | jnp.logical_not(head_written))
-    def _():
-        dchunk_ref[0] = jnp.zeros((N_ROWS, G), jnp.float32)
-
-    @pl.when(jnp.logical_not(head_written))
-    def _():
-        wr = wcopy_head(jnp.int32(0))
-        wr.start()
-        wr.wait()
-
-    def zbody(ci):
-        wr = wcopy_main(jnp.int32(0), ci)
-        wr.start()
-        wr.wait()
-        return ci + 1
-
-    jax.lax.while_loop(lambda ci: ci < n_chunks, zbody,
-                       jnp.maximum(stop_ci, 1))
 
 
 # ======================== pallas_call wrappers ========================
@@ -508,7 +500,9 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                   pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
@@ -518,6 +512,12 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
     )
 
     def bwd_call(inst, tile_start, tile_count, gout, oraw):
+        # The gradient outputs are aliased to zero-filled inputs: unwritten
+        # slots (early-exit-skipped chunks, stream-tail chunks, aligned/empty
+        # head rows) then hold exact zeros with no in-kernel zero-fill and no
+        # epilogue masking.  Alias indices count the scalar-prefetch operands.
+        zmain = jnp.zeros((K // G, N_ROWS, G), jnp.float32)
+        zhead = jnp.zeros((num_tiles, N_ROWS, G), jnp.float32)
         return pl.pallas_call(
             kern_bwd,
             out_shape=(jax.ShapeDtypeStruct((K // G, N_ROWS, G), jnp.float32),
@@ -525,11 +525,12 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                                             jnp.float32)),
             grid_spec=bwd_grid,
             interpret=interpret,
+            input_output_aliases={5: 0, 6: 1},
             # chunk-primary d_inst slices and per-tile d_head rows are
             # disjoint across tiles, so the grid is parallel
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, dimension_semantics=("parallel",)),
-        )(tile_start, tile_count, inst, gout, oraw)
+        )(tile_start, tile_count, inst, gout, oraw, zmain, zhead)
 
     @jax.custom_vjp
     def raster_op(inst, tile_start, tile_count):
@@ -544,11 +545,9 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
         d_main, d_head = bwd_call(inst, tile_start, tile_count, gout, oraw)
         NC = K // G
         cid = jnp.arange(NC, dtype=jnp.int32)
-        # Stream-tail chunks beyond the live instances have no primary tile
-        # and were never written: hard-zero them (where, not multiply — they
-        # may hold NaN garbage).
-        n_live = tile_start[num_tiles - 1] + tile_count[num_tiles - 1]
-        d_main = jnp.where((cid * G < n_live)[:, None, None], d_main, 0.0)
+        # Unwritten slots (early-exit-skipped chunks, stream tail, unused
+        # head rows) hold exact zeros via the output aliasing in bwd_call —
+        # no masking needed here.
         # Merge unaligned-head contributions: tile starts ascend, so
         # head_chunk is nondecreasing — a segment sum by prefix difference.
         head_chunk = tile_start // G                       # [num_tiles]

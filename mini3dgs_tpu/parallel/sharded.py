@@ -88,6 +88,7 @@ def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
                               gaussian_chunk=settings.gaussian_chunk,
                               radius_max=settings.radius_max,
                               max_dup_per_axis=settings.max_dup_per_axis,
+                              large_capacity=settings.large_capacity,
                               row0=row0, col0=0,
                               full_height=H, full_width=W,
                               shard_axis=shard_axis, n_shards=n_shards)

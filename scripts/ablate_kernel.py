@@ -1,0 +1,104 @@
+"""Cost map of the raster kernel internals at the bench config: slope-measure
+the full fwd+bwd step with individual kernel stages monkeypatched to no-ops
+(numerics intentionally wrong — this measures WHERE the time goes, the
+difference vs baseline is each stage's cost)."""
+
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini3dgs_tpu.ops import raster_pallas as R
+
+
+def slope(body_of_scalar, name, k1=2, k2=12, reps=3):
+    @partial(jax.jit, static_argnames="iters")
+    def run(s, iters):
+        return jax.lax.fori_loop(0, iters, lambda i, c: body_of_scalar(c, i),
+                                 s)
+
+    for iters in (k1, k2):
+        float(run(jnp.float32(0.5), iters))
+    pers = []
+    for j in range(reps):
+        s1 = jnp.float32(0.1 + 0.01 * j)
+        s2 = jnp.float32(0.2 + 0.01 * j)
+        t0 = time.perf_counter()
+        float(run(s1, k1))
+        t1 = time.perf_counter()
+        float(run(s2, k2))
+        t2 = time.perf_counter()
+        pers.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    per = float(np.median(pers))
+    print(f"{name:40s} {per * 1e3:8.2f} ms", flush=True)
+    return per
+
+
+def _transmittance_free(one_minus, T):
+    return jnp.broadcast_to(T, one_minus.shape), T * one_minus[:, -1:]
+
+
+def _uw_prefix_free(uw):
+    return uw
+
+
+def _bwd_moments_free(Lmat, wgt, d_lw, d_op_pix):
+    G = wgt.shape[1]
+    return jnp.zeros((15, G), jnp.float32) + wgt[:1, :] + d_lw[:1, :] \
+        + d_op_pix[:1, :]
+
+
+ABLATIONS = [
+    ("baseline", {}),
+    ("transmittance prefix -> free", {"_transmittance": _transmittance_free}),
+    ("uw prefix -> free", {"_uw_prefix": _uw_prefix_free}),
+    ("moment matmul -> free", {"_bwd_moments": _bwd_moments_free}),
+    # no early exit: all chunks processed, but the bwd's serial zero-fill
+    # DMA loop never runs — separates compute saved vs drain cost added
+    ("early stop off", {"EARLY_STOP_A": 2.0}),
+]
+
+
+def main():
+    from __graft_entry__ import _scene
+    from mini3dgs_tpu.ops.renderer import RenderSettings, render
+
+    W = H = 800
+    g, cam = _scene(capacity=2 ** 17, n=100_000, width=W, height=H)
+    settings = RenderSettings(image_height=H, image_width=W, use_pallas=True,
+                              max_instances=2 ** 19, gaussian_chunk=256,
+                              tile_size=32, max_dup_per_axis=3)
+    target = jnp.zeros((3, H, W), jnp.float32)
+    params0 = g.params()
+
+    def full_loss(params):
+        out = render(g.with_params(params), cam, settings)
+        return jnp.abs(out["image"] - target).mean()
+
+    gfull = jax.grad(full_loss)
+
+    def pf(s, i):
+        d = gfull({**params0, "xyz": params0["xyz"] * (1.0 + s * 1e-9)})
+        return jnp.sum(d["xyz"]) * 1e-12 + s
+
+    saved = {}
+    for name, patches in ABLATIONS:
+        for attr, fn in patches.items():
+            saved[attr] = getattr(R, attr)
+            setattr(R, attr, fn)
+        R._make_raster_op.cache_clear()
+        try:
+            slope(pf, name)
+        finally:
+            for attr in patches:
+                setattr(R, attr, saved[attr])
+
+
+if __name__ == "__main__":
+    main()

@@ -335,3 +335,39 @@ def test_two_level_render_matches_golden():
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
                                    err_msg=name)
+
+
+def test_early_exit_skipped_chunks_zero_grads():
+    """Tiles that saturate (A >= 0.995) mid-stream skip whole chunks; the
+    epilogue must mask their unwritten d_inst slots (NaN garbage otherwise)
+    and the gradients must still match the golden renderer, whose autodiff
+    sees the same early-stop gating."""
+    rng = np.random.default_rng(4)
+    n = 120
+    # all gaussians stacked on one spot, high opacity: the center tile
+    # saturates within the first chunk, leaving several whole chunks skipped
+    xyz = np.concatenate([rng.normal(0, 0.02, (n, 2)),
+                          rng.uniform(0.5, 4.0, (n, 1))], axis=1)
+    sig = np.full((n, 3), 0.08)
+    col = rng.uniform(0, 1, (n, 3))
+    op = np.full(n, 0.95)
+    gs = make_gaussians(xyz, sig, col, op)
+    cam = identity_camera(32, 32, 70.0)
+    g_set = RenderSettings(image_height=32, image_width=32, use_pallas=False)
+    p_set = RenderSettings(image_height=32, image_width=32, use_pallas=True,
+                           max_instances=2048, gaussian_chunk=16,
+                           tile_size=16)
+    target = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)), jnp.float32)
+
+    def loss(params, settings):
+        out = render(gs.with_params(params), cam, settings)
+        return jnp.mean((out["image"] - target) ** 2)
+
+    gg = jax.grad(lambda p: loss(p, g_set))(gs.params())
+    gp = jax.grad(lambda p: loss(p, p_set))(gs.params())
+    for name in ("xyz", "opacity", "scaling", "features_dc"):
+        a, b = np.asarray(gp[name]), np.asarray(gg[name])
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
+                                   err_msg=name)

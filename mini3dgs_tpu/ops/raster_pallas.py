@@ -104,14 +104,16 @@ def _transmittance(one_minus: jnp.ndarray, T: jnp.ndarray):
     MXU matmuls against a strict upper-triangular ones matrix (the VPU
     doubling cumprod was log2(G) full [P,G] passes competing with the alpha
     math; the MXU is otherwise idle in the forward).  Returns
-    (T_before [P,G] — transmittance BEFORE each instance, T_new [P,1]).
-    The 1e-30 floor keeps log finite for alpha == 1; the prefix then
-    underflows exp to exactly 0, matching the product semantics."""
+    (T_before [P,G] — transmittance BEFORE each instance, T_new [P,1],
+    lg = log(1-alpha) [P,G] — the bwd reuses it as exp(-lg) = 1/(1-alpha),
+    cheaper than a [P,G] divide).  The 1e-30 floor keeps log finite for
+    alpha == 1; the prefix then underflows exp to exactly 0, matching the
+    product semantics."""
     lg = jnp.log(jnp.maximum(one_minus, 1e-30))
     pre = _prefix_blocked(lg, strict=True)         # [P,G]
     T_before = T * jnp.exp(pre)
     T_new = T * jnp.exp(pre[:, -1:] + lg[:, -1:])
-    return T_before, T_new
+    return T_before, T_new, lg
 
 
 def _cumsum_last(x: jnp.ndarray) -> jnp.ndarray:
@@ -134,14 +136,31 @@ def _uw_prefix(uw: jnp.ndarray) -> jnp.ndarray:
     return _prefix_blocked(uw, strict=False)
 
 
-def _bwd_moments(Lmat, wgt, d_lw, d_op_pix):
-    """ONE block-diagonal [15,3P]x[3P,G] MXU matmul computing d_cmat
-    (gout x wgt), the six pixel moments (Mpix x d_lw), and the opacity
-    column sum (ones x d_op_pix) together — three independent small matmuls
-    serialized per chunk cost more in MXU latency than one wider one."""
-    rhs = jnp.concatenate([wgt, d_lw, d_op_pix], axis=0)  # [3P, G]
-    return jax.lax.dot_general(Lmat, rhs, (((1,), (0,)), ((), ())),
+def _d_alpha_term(u, T_before, gate, S, lg):
+    """dL/dalpha_j = u_j*T_j*gate_j - S_j/(1-alpha_j) (original-3DGS form;
+    the suffix term redistributes the occluded contribution).  1/(1-alpha)
+    is exp(-lg) with lg = log(1-alpha) from _transmittance — the hardware
+    exp is cheaper than a [P,G] divide (measured ~0.9 ms/step).  At
+    alpha == 1 exactly, exp(-lg) = exp(69) is large-but-finite and the
+    caller's (a_raw < 1) mask zeroes the lane."""
+    return u * T_before * gate - S * jnp.exp(-lg)
+
+
+def _bwd_moments(Lmat, ones_row, wgt, d_lw, d_op_pix):
+    """One block-diagonal [14,2P]x[2P,G] MXU matmul computing d_cmat
+    (gout x wgt) and the six pixel moments (Mpix x d_lw), plus a skinny
+    [1,P]x[P,G] matmul for the opacity column sum.  d_op_pix must stay its
+    own (ungated) operand: golden clip autodiff keeps the full opacity
+    gradient at w == 1 pixels while the d_lw path is (w < 1)-gated, so
+    S0/op is NOT exact there.  Keeping the concat at [2P,G] matters: the
+    bwd body's live set presses the VMEM scoped limit (the former [3P,G]
+    concat measured ~3.7 ms/step of the total)."""
+    rhs = jnp.concatenate([wgt, d_lw], axis=0)             # [2P, G]
+    out14 = jax.lax.dot_general(Lmat, rhs, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    d_op = jax.lax.dot_general(ones_row, d_op_pix, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+    return out14, d_op
 
 
 def _pixel_coords(t, tile_size, tiles_x, row0, col0, P):
@@ -219,7 +238,7 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
         ch = chunk_ref[jax.lax.rem(ci, 2)]
         m = _chunk_alpha(ch, px, py, head, count, ci, G)
         one_minus = 1.0 - m["alpha"]
-        T_before, T = _transmittance(one_minus, T)
+        T_before, T, _ = _transmittance(one_minus, T)
         gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
         contrib = T_before * m["alpha"] * gate     # [P, G]
         cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
@@ -289,19 +308,16 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         [onesP, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
         axis=1).T                      # [6, P]
     ones_row = jnp.swapaxes(onesP, 0, 1)  # [1, P]
-    # Block-diagonal LHS [15, 3P]: one MXU matmul per chunk computes
-    # d_cmat (gout x wgt), the six pixel moments (Mpix x d_s), and the
-    # opacity column sum (ones x d_op_pix) together — three independent
-    # small matmuls serialized per chunk cost more in MXU latency than one
-    # wider one.  Built once per tile; the per-chunk RHS is a concat.
+    # Block-diagonal LHS [14, 2P]: one MXU matmul per chunk computes d_cmat
+    # (gout x wgt) and the six pixel moments (Mpix x d_lw) together.  Built
+    # once per tile; the per-chunk RHS is a [2P, G] concat (kept as small as
+    # possible — the bwd body's live set presses the VMEM scoped limit).
     z8 = jnp.zeros((N_ACC, P), jnp.float32)
     z6 = jnp.zeros((6, P), jnp.float32)
-    z1 = jnp.zeros((1, P), jnp.float32)
     Lmat = jnp.concatenate([
-        jnp.concatenate([gout, z8, z8], axis=1),
-        jnp.concatenate([z6, Mpix, z6[:, :P]], axis=1),
-        jnp.concatenate([z1, z1, ones_row], axis=1),
-    ], axis=0)                         # [15, 3P]
+        jnp.concatenate([gout, z8], axis=1),
+        jnp.concatenate([z6, Mpix], axis=1),
+    ], axis=0)                         # [14, 2P]
 
     def dma(ci):
         slot = jax.lax.rem(ci, 2)
@@ -357,7 +373,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         m = _chunk_alpha(ch, px, py, head, count, ci, G)
         alpha = m["alpha"]
         one_minus = 1.0 - alpha
-        T_before, T_new = _transmittance(one_minus, T)
+        T_before, T_new, lg = _transmittance(one_minus, T)
         gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
         wgt = T_before * alpha * gate              # [P, G] contribution weights
 
@@ -368,7 +384,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         uw = u * wgt
         incl = _uw_prefix(uw) + prefix
         S = total - incl                           # suffix sum over i > j
-        d_alpha = u * T_before * gate - S / jnp.maximum(one_minus, 1e-6)
+        d_alpha = _d_alpha_term(u, T_before, gate, S, lg)
 
         # chain through alpha = clip(op*w,0,1)*(w>=eps)*valid
         w = m["w"]
@@ -387,10 +403,9 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         # cross-sublane column reductions (the bwd kernel was VPU-bound).
         # Pixel coords are TILE-LOCAL (Mpix/xl below) so the expansion's
         # cancellation stays at the footprint scale, not the image scale.
-        out15 = _bwd_moments(Lmat, wgt, d_lw, d_op_pix)
-        d_cmat = out15[0:N_ACC, :]                 # gout x wgt  [8, G]
-        mom = out15[N_ACC:N_ACC + 6, :]            # Mpix x d_lw [6, G]
-        d_op_row = out15[N_ACC + 6:N_ACC + 7, :]   # ones x d_op_pix
+        out14, d_op_row = _bwd_moments(Lmat, ones_row, wgt, d_lw, d_op_pix)
+        d_cmat = out14[0:N_ACC, :]                 # gout x wgt  [8, G]
+        mom = out14[N_ACC:N_ACC + 6, :]            # Mpix x d_lw [6, G]
         S0 = mom[0:1, :]
         Sx = mom[1:2, :]
         Sy = mom[2:3, :]
@@ -488,9 +503,13 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
             out_shape=jax.ShapeDtypeStruct((num_tiles, N_ACC, P), jnp.float32),
             grid_spec=fwd_grid,
             interpret=interpret,
-            # tiles are independent: megacore chips may split the grid
+            # tiles are independent: megacore chips may split the grid.
+            # The default 16MB scoped-vmem limit is what the kernels press
+            # against (the bwd at G=512 exceeds it outright); raising it
+            # gives Mosaic room to keep the [P,G] live set on stack.
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)),
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 2 ** 20),
         )(tile_start, tile_count, inst)
 
     bwd_grid = pltpu.PrefetchScalarGridSpec(
@@ -529,7 +548,8 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
             # chunk-primary d_inst slices and per-tile d_head rows are
             # disjoint across tiles, so the grid is parallel
             compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, dimension_semantics=("parallel",)),
+                has_side_effects=True, dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 2 ** 20),
         )(tile_start, tile_count, inst, gout, oraw, zmain, zhead)
 
     @jax.custom_vjp

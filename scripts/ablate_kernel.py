@@ -41,26 +41,57 @@ def slope(body_of_scalar, name, k1=2, k2=12, reps=3):
 
 
 def _transmittance_free(one_minus, T):
-    return jnp.broadcast_to(T, one_minus.shape), T * one_minus[:, -1:]
+    return (jnp.broadcast_to(T, one_minus.shape), T * one_minus[:, -1:],
+            one_minus)
 
 
 def _uw_prefix_free(uw):
     return uw
 
 
-def _bwd_moments_free(Lmat, wgt, d_lw, d_op_pix):
+def _bwd_moments_free(Lmat, ones_row, wgt, d_lw, d_op_pix):
+    # keep legally-shaped expressions with a data dependency but no
+    # matmul / concat (broadcasting a [1,G] row into [14,G] crashes Mosaic)
     G = wgt.shape[1]
-    return jnp.zeros((15, G), jnp.float32) + wgt[:1, :] + d_lw[:1, :] \
-        + d_op_pix[:1, :]
+    s = wgt[0, 0] + d_lw[0, 0] + d_op_pix[0, 0]
+    return Lmat[:, :G] * s, d_op_pix[:1, :]
+
+
+def _d_alpha_mult(u, T_before, gate, S, lg):
+    # exp replaced by a multiply (wrong numerics, same shapes/ops count-1)
+    return u * T_before * gate - S * (2.0 - lg)
+
+
+def _chunk_alpha_poly(ch, px, py, head, count, ci, G):
+    """_chunk_alpha with exp replaced by a 3-multiply polynomial (wrong
+    numerics; measures the [P,G] exp cost in fwd AND bwd)."""
+    B = R.B
+    x = ch[B.ROW_X:B.ROW_X + 1, :]
+    y = ch[B.ROW_Y:B.ROW_Y + 1, :]
+    qa = ch[B.ROW_QA:B.ROW_QA + 1, :]
+    qb = ch[B.ROW_QB:B.ROW_QB + 1, :]
+    qc = ch[B.ROW_QC:B.ROW_QC + 1, :]
+    op = ch[B.ROW_OP:B.ROW_OP + 1, :]
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + ci * G
+    valid = (lidx >= head) & (lidx < head + count)
+    dx = px - x
+    dy = py - y
+    lw = dx * dx * qa + dx * dy * qb + dy * dy * qc
+    t = jnp.maximum(1.0 + lw * 0.125, 0.0)
+    t2 = t * t
+    t4 = t2 * t2
+    w = jnp.minimum(t4 * t4, 1.0)          # ~exp(lw), 4 mults
+    a_raw = op * w
+    alpha = jnp.where((w >= R.W_EPS) & valid, jnp.minimum(a_raw, 1.0), 0.0)
+    return dict(x=x, y=y, qa=qa, qb=qb, qc=qc, op=op, w=w,
+                a_raw=a_raw, alpha=alpha, valid=valid)
 
 
 ABLATIONS = [
     ("baseline", {}),
-    ("transmittance prefix -> free", {"_transmittance": _transmittance_free}),
-    ("uw prefix -> free", {"_uw_prefix": _uw_prefix_free}),
     ("moment matmul -> free", {"_bwd_moments": _bwd_moments_free}),
-    # no early exit: all chunks processed, but the bwd's serial zero-fill
-    # DMA loop never runs — separates compute saved vs drain cost added
+    ("d_alpha divide -> multiply", {"_d_alpha_term": _d_alpha_mult}),
+    ("alpha exp -> polynomial", {"_chunk_alpha": _chunk_alpha_poly}),
     ("early stop off", {"EARLY_STOP_A": 2.0}),
 ]
 

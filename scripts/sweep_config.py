@@ -59,8 +59,8 @@ def main():
     # grid there.
     combos = [
         (32, 256, 3, 2 ** 19, 0),   # current bench config
-        (16, 128, 4, 2 ** 20, 2 ** 17),
-        (16, 256, 4, 2 ** 20, 2 ** 17),
+        (32, 512, 3, 2 ** 19, 0),   # halve chunk count (loop overhead probe)
+        (32, 128, 3, 2 ** 19, 0),   # double chunk count
     ]
     for (TS, G, DUP, K, LC) in combos:
         settings = RenderSettings(image_height=H, image_width=W,

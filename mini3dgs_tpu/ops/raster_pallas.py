@@ -146,6 +146,12 @@ def _d_alpha_term(u, T_before, gate, S, lg):
     return u * T_before * gate - S * jnp.exp(-lg)
 
 
+def _u_matmul(gout, cmat):
+    """u[p,i] = <dOut_p, c_i> — one [P,8]x[8,G]-shaped MXU contraction."""
+    return jax.lax.dot_general(gout, cmat, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _bwd_moments(Lmat, ones_row, wgt, d_lw, d_op_pix):
     """One block-diagonal [14,2P]x[2P,G] MXU matmul computing d_cmat
     (gout x wgt) and the six pixel moments (Mpix x d_lw), plus a skinny
@@ -378,9 +384,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         wgt = T_before * alpha * gate              # [P, G] contribution weights
 
         cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
-        # u[p,i] = <dOut_p, c_i>
-        u = jax.lax.dot_general(gout, cmat, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [P, G]
+        u = _u_matmul(gout, cmat)                  # [P, G]
         uw = u * wgt
         incl = _uw_prefix(uw) + prefix
         S = total - incl                           # suffix sum over i > j

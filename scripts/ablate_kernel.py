@@ -87,12 +87,97 @@ def _chunk_alpha_poly(ch, px, py, head, count, ci, G):
                 a_raw=a_raw, alpha=alpha, valid=valid)
 
 
+def _bwd_moments_prec(precision):
+    def f(Lmat, ones_row, wgt, d_lw, d_op_pix):
+        rhs = jnp.concatenate([wgt, d_lw], axis=0)
+        out14 = jax.lax.dot_general(
+            Lmat, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        d_op = jax.lax.dot_general(
+            ones_row, d_op_pix, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        return out14, d_op
+    return f
+
+
+def _bwd_moments_bf16(Lmat, ones_row, wgt, d_lw, d_op_pix):
+    rhs = jnp.concatenate([wgt, d_lw], axis=0).astype(jnp.bfloat16)
+    out14 = jax.lax.dot_general(
+        Lmat.astype(jnp.bfloat16), rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_op = jax.lax.dot_general(
+        ones_row.astype(jnp.bfloat16), d_op_pix.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out14, d_op
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _chunk_alpha_exp2(ch, px, py, head, count, ci, G):
+    """exp -> exp2 (the ablation pays one extra [P,G] multiply for the
+    log2(e) fold that production would bake into the packed conic rows)."""
+    B = R.B
+    x = ch[B.ROW_X:B.ROW_X + 1, :]
+    y = ch[B.ROW_Y:B.ROW_Y + 1, :]
+    qa = ch[B.ROW_QA:B.ROW_QA + 1, :]
+    qb = ch[B.ROW_QB:B.ROW_QB + 1, :]
+    qc = ch[B.ROW_QC:B.ROW_QC + 1, :]
+    op = ch[B.ROW_OP:B.ROW_OP + 1, :]
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) + ci * G
+    valid = (lidx >= head) & (lidx < head + count)
+    dx = px - x
+    dy = py - y
+    lw = dx * dx * qa + dx * dy * qb + dy * dy * qc
+    w = jnp.minimum(jnp.exp2(lw * _LOG2E), 1.0)
+    a_raw = op * w
+    alpha = jnp.where((w >= R.W_EPS) & valid, jnp.minimum(a_raw, 1.0), 0.0)
+    return dict(x=x, y=y, qa=qa, qb=qb, qc=qc, op=op, w=w,
+                a_raw=a_raw, alpha=alpha, valid=valid)
+
+
+def _transmittance_exp2(one_minus, T):
+    lg = jnp.log2(jnp.maximum(one_minus, 1e-30))
+    pre = R._prefix_blocked(lg, strict=True)
+    T_before = T * jnp.exp2(pre)
+    T_new = T * jnp.exp2(pre[:, -1:] + lg[:, -1:])
+    return T_before, T_new, lg
+
+
+def _d_alpha_exp2(u, T_before, gate, S, lg):
+    return u * T_before * gate - S * jnp.exp2(-lg)
+
+
+def _bwd_moments_split(Lmat, ones_row, wgt, d_lw, d_op_pix):
+    # no concat: two separate dot_generals against slices of Lmat (the
+    # [2P,G] concat materialization may be the real cost, not the matmul)
+    P = wgt.shape[0]
+    NA = Lmat.shape[0] - 6
+    out_c = jax.lax.dot_general(Lmat[:NA, :P], wgt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    out_m = jax.lax.dot_general(Lmat[NA:, P:], d_lw, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    out14 = jnp.concatenate([out_c, out_m], axis=0)   # [14, G] — tiny
+    d_op = jax.lax.dot_general(ones_row, d_op_pix, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return out14, d_op
+
+
+# Measured 2026-08-19 (bench config, deltas vs same-run baseline):
+#   moment matmul free        -2.4 ms   (concat suspected, not flops)
+#   moments bf16 inputs       +0.5      (casts cost more than they save)
+#   moments precision HIGHEST +2.6      (default is already the fast path)
+#   d_alpha exp -> multiply   -0.9..0   (reciprocal-exp ~free to ~1ms)
+#   exp -> exp2 everywhere    +0.6      (hardware exp is already exp2-fast)
+#   early stop off            +0.6..1.5 (keep early stop)
+#   transmittance prefix free -0.2, uw prefix free -0.15 (MXU prefixes free)
 ABLATIONS = [
     ("baseline", {}),
+    ("moments split, no concat", {"_bwd_moments": _bwd_moments_split}),
     ("moment matmul -> free", {"_bwd_moments": _bwd_moments_free}),
-    ("d_alpha divide -> multiply", {"_d_alpha_term": _d_alpha_mult}),
-    ("alpha exp -> polynomial", {"_chunk_alpha": _chunk_alpha_poly}),
-    ("early stop off", {"EARLY_STOP_A": 2.0}),
+    ("u matmul -> free",
+     {"_u_matmul": lambda gout, cmat:
+      jnp.swapaxes(gout[:1, :], 0, 1) * cmat[:1, :]}),
 ]
 
 

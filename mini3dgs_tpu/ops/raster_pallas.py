@@ -80,7 +80,14 @@ def _prefix_blocked(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
     """Per-row prefix sum along lanes as block-triangular MXU matmuls:
     within each PREFIX_BLOCK-wide lane block one [P,B]x[B,B] matmul, with
     the running block total carried as a [P,1] broadcast add (blocks chain
-    serially, but nb = G/128 is tiny).  strict=True -> exclusive prefix."""
+    serially, but nb = G/128 is tiny).  strict=True -> exclusive prefix.
+
+    PRECISION: on real TPUs a default-precision f32 matmul rounds operands
+    to bf16 (1 pass) — measured 4e-3 image / 0.24 normalized-gradient error
+    vs golden on chip.  The triangular matrix is 0/1 (exact in bf16), so a
+    manual hi/lo operand split buys HIGH-precision accuracy (~2^-16
+    relative) in TWO default passes — the hi*lo cross term of the 3-pass
+    scheme vanishes against an exact RHS."""
     G = x.shape[-1]
     B = min(PREFIX_BLOCK, G)
     ii = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
@@ -90,8 +97,12 @@ def _prefix_blocked(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
     carry = None
     for b in range(G // B):
         xb = x[:, b * B:(b + 1) * B]
-        pre = jax.lax.dot_general(xb, tri, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        hi = (xb.astype(jnp.bfloat16)).astype(jnp.float32)
+        lo = xb - hi
+        dot = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        pre = dot(hi, tri) + dot(lo, tri)
         if carry is not None:
             pre = pre + carry
         outs.append(pre)
@@ -146,27 +157,57 @@ def _d_alpha_term(u, T_before, gate, S, lg):
     return u * T_before * gate - S * jnp.exp(-lg)
 
 
+def _dot3(a, b, dims):
+    """~f32-accurate matmul as three DEFAULT-precision passes (hi*hi +
+    lo*hi + hi*lo; the lo*lo term is below 2^-16 relative).  Mosaic rounds
+    f32 dot operands to bf16 at DEFAULT (measured 4e-3 image / 0.24
+    normalized-gradient error vs golden on chip) and does not implement
+    Precision.HIGH; HIGHEST measured ~2x the default's cost."""
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    return d(ah, bh) + d(a - ah, bh) + d(ah, b - bh)
+
+
+# PRECISION policy (measured on chip, scripts/precision_matrix.py): the
+# bulk gradient deviation vs golden is NOT matmul precision — it is
+# early-stop/W_EPS gate flips between Mosaic's and XLA's exp
+# implementations (every precision variant, 3-pass included, shows the
+# same ~9e-2 xyz rel-L2 on a deeply-stacked scene, while the same compare
+# on CPU agrees to 7e-5).  Upgrading u/acc/moments to 3-pass cost
+# +4.4 ms/step and bought nothing; they run at DEFAULT.  Only the
+# transmittance prefix keeps the 2-pass hi/lo split: it is nearly free
+# (exact 0/1 RHS needs no cross term) and improves on-chip alpha parity
+# 9.98e-4 -> 2.73e-5.
+
+
 def _u_matmul(gout, cmat):
     """u[p,i] = <dOut_p, c_i> — one [P,8]x[8,G]-shaped MXU contraction."""
     return jax.lax.dot_general(gout, cmat, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _bwd_moments(Lmat, ones_row, wgt, d_lw, d_op_pix):
-    """One block-diagonal [14,2P]x[2P,G] MXU matmul computing d_cmat
-    (gout x wgt) and the six pixel moments (Mpix x d_lw), plus a skinny
-    [1,P]x[P,G] matmul for the opacity column sum.  d_op_pix must stay its
-    own (ungated) operand: golden clip autodiff keeps the full opacity
-    gradient at w == 1 pixels while the d_lw path is (w < 1)-gated, so
-    S0/op is NOT exact there.  Keeping the concat at [2P,G] matters: the
-    bwd body's live set presses the VMEM scoped limit (the former [3P,G]
-    concat measured ~3.7 ms/step of the total)."""
-    rhs = jnp.concatenate([wgt, d_lw], axis=0)             # [2P, G]
-    out14 = jax.lax.dot_general(Lmat, rhs, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    d_op = jax.lax.dot_general(ones_row, d_op_pix, (((1,), (0,)), ((), ())),
+def _acc_matmul(cmat, contrib):
+    """Weighted [r,g,b,depth,alpha] accumulation."""
+    return jax.lax.dot_general(cmat, contrib, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    return out14, d_op
+
+
+def _bwd_moments(gout, Mpix, ones_row, wgt, d_lw, d_op_pix):
+    """Three pixel-reduction MXU matmuls: d_cmat (gout x wgt, color/depth
+    gradients), the six pixel moments (Mpix x d_lw), and the opacity column
+    sum (ones x d_op_pix).  d_op_pix must stay its own (ungated) operand:
+    golden clip autodiff keeps the full opacity gradient at w == 1 pixels
+    while the d_lw path is (w < 1)-gated, so S0/op is NOT exact there.
+
+    All three run at DEFAULT precision — see the precision-policy note
+    above _u_matmul (3-pass splits measured no parity gain; the bulk
+    deviation vs golden is exp-implementation gate flips, not rounding)."""
+    dims = (((1,), (0,)), ((), ()))
+    d = lambda a, b: jax.lax.dot_general(a, b, dims,
+                                         preferred_element_type=jnp.float32)
+    return d(gout, wgt), d(Mpix, d_lw), d(ones_row, d_op_pix)
 
 
 def _pixel_coords(t, tile_size, tiles_x, row0, col0, P):
@@ -248,9 +289,7 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
         gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
         contrib = T_before * m["alpha"] * gate     # [P, G]
         cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
-        acc = acc + jax.lax.dot_general(
-            cmat, contrib, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [8, P]
+        acc = acc + _acc_matmul(cmat, contrib)     # [8, P]
         return ci + 1, T, acc
 
     def cond(carry):
@@ -312,18 +351,8 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     onesP = jnp.ones_like(pxl)
     Mpix = jnp.concatenate(
         [onesP, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
-        axis=1).T                      # [6, P]
+        axis=1).T                      # [6, P] — built once per tile
     ones_row = jnp.swapaxes(onesP, 0, 1)  # [1, P]
-    # Block-diagonal LHS [14, 2P]: one MXU matmul per chunk computes d_cmat
-    # (gout x wgt) and the six pixel moments (Mpix x d_lw) together.  Built
-    # once per tile; the per-chunk RHS is a [2P, G] concat (kept as small as
-    # possible — the bwd body's live set presses the VMEM scoped limit).
-    z8 = jnp.zeros((N_ACC, P), jnp.float32)
-    z6 = jnp.zeros((6, P), jnp.float32)
-    Lmat = jnp.concatenate([
-        jnp.concatenate([gout, z8], axis=1),
-        jnp.concatenate([z6, Mpix], axis=1),
-    ], axis=0)                         # [14, 2P]
 
     def dma(ci):
         slot = jax.lax.rem(ci, 2)
@@ -407,9 +436,8 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         # cross-sublane column reductions (the bwd kernel was VPU-bound).
         # Pixel coords are TILE-LOCAL (Mpix/xl below) so the expansion's
         # cancellation stays at the footprint scale, not the image scale.
-        out14, d_op_row = _bwd_moments(Lmat, ones_row, wgt, d_lw, d_op_pix)
-        d_cmat = out14[0:N_ACC, :]                 # gout x wgt  [8, G]
-        mom = out14[N_ACC:N_ACC + 6, :]            # Mpix x d_lw [6, G]
+        d_cmat, mom, d_op_row = _bwd_moments(gout, Mpix, ones_row, wgt,
+                                             d_lw, d_op_pix)
         S0 = mom[0:1, :]
         Sx = mom[1:2, :]
         Sy = mom[2:3, :]

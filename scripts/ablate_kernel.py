@@ -49,12 +49,22 @@ def _uw_prefix_free(uw):
     return uw
 
 
-def _bwd_moments_free(Lmat, ones_row, wgt, d_lw, d_op_pix):
-    # keep legally-shaped expressions with a data dependency but no
-    # matmul / concat (broadcasting a [1,G] row into [14,G] crashes Mosaic)
+def _bwd_moments_free(gout, Mpix, ones_row, wgt, d_lw, d_op_pix):
+    # keep legally-shaped expressions with a data dependency but no matmul
     G = wgt.shape[1]
     s = wgt[0, 0] + d_lw[0, 0] + d_op_pix[0, 0]
-    return Lmat[:, :G] * s, d_op_pix[:1, :]
+    NA = gout.shape[0]
+    return (jnp.zeros((NA, G), jnp.float32) + s,
+            jnp.zeros((6, G), jnp.float32) + s, d_op_pix[:1, :])
+
+
+def _bwd_moments_default(gout, Mpix, ones_row, wgt, d_lw, d_op_pix):
+    # everything at DEFAULT (bf16 operand) precision — fails on-chip grad
+    # parity (23% xyz) but measures the _dot3 cost of the precise version
+    dims = (((1,), (0,)), ((), ()))
+    d = lambda a, b: jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32)
+    return d(gout, wgt), d(Mpix, d_lw), d(ones_row, d_op_pix)
 
 
 def _d_alpha_mult(u, T_before, gate, S, lg):
@@ -85,30 +95,6 @@ def _chunk_alpha_poly(ch, px, py, head, count, ci, G):
     alpha = jnp.where((w >= R.W_EPS) & valid, jnp.minimum(a_raw, 1.0), 0.0)
     return dict(x=x, y=y, qa=qa, qb=qb, qc=qc, op=op, w=w,
                 a_raw=a_raw, alpha=alpha, valid=valid)
-
-
-def _bwd_moments_prec(precision):
-    def f(Lmat, ones_row, wgt, d_lw, d_op_pix):
-        rhs = jnp.concatenate([wgt, d_lw], axis=0)
-        out14 = jax.lax.dot_general(
-            Lmat, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        d_op = jax.lax.dot_general(
-            ones_row, d_op_pix, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        return out14, d_op
-    return f
-
-
-def _bwd_moments_bf16(Lmat, ones_row, wgt, d_lw, d_op_pix):
-    rhs = jnp.concatenate([wgt, d_lw], axis=0).astype(jnp.bfloat16)
-    out14 = jax.lax.dot_general(
-        Lmat.astype(jnp.bfloat16), rhs, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    d_op = jax.lax.dot_general(
-        ones_row.astype(jnp.bfloat16), d_op_pix.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return out14, d_op
 
 
 _LOG2E = 1.4426950408889634
@@ -148,21 +134,6 @@ def _d_alpha_exp2(u, T_before, gate, S, lg):
     return u * T_before * gate - S * jnp.exp2(-lg)
 
 
-def _bwd_moments_split(Lmat, ones_row, wgt, d_lw, d_op_pix):
-    # no concat: two separate dot_generals against slices of Lmat (the
-    # [2P,G] concat materialization may be the real cost, not the matmul)
-    P = wgt.shape[0]
-    NA = Lmat.shape[0] - 6
-    out_c = jax.lax.dot_general(Lmat[:NA, :P], wgt, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    out_m = jax.lax.dot_general(Lmat[NA:, P:], d_lw, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    out14 = jnp.concatenate([out_c, out_m], axis=0)   # [14, G] — tiny
-    d_op = jax.lax.dot_general(ones_row, d_op_pix, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    return out14, d_op
-
-
 # Measured 2026-08-19 (bench config, deltas vs same-run baseline):
 #   moment matmul free        -2.4 ms   (concat suspected, not flops)
 #   moments bf16 inputs       +0.5      (casts cost more than they save)
@@ -173,8 +144,9 @@ def _bwd_moments_split(Lmat, ones_row, wgt, d_lw, d_op_pix):
 #   transmittance prefix free -0.2, uw prefix free -0.15 (MXU prefixes free)
 ABLATIONS = [
     ("baseline", {}),
-    ("moments split, no concat", {"_bwd_moments": _bwd_moments_split}),
     ("moment matmul -> free", {"_bwd_moments": _bwd_moments_free}),
+    ("moments all-DEFAULT precision",
+     {"_bwd_moments": _bwd_moments_default}),
     ("u matmul -> free",
      {"_u_matmul": lambda gout, cmat:
       jnp.swapaxes(gout[:1, :], 0, 1) * cmat[:1, :]}),

@@ -694,7 +694,8 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     else:
         per_axis = B._per_axis_bound(radius_max, tile_size, max_dup_per_axis,
                                      tiles_x, tiles_y)
-    inst = B.pack_instances(attrs, b.s_rank, b.seg_start_gid, b.counts_gid,
+    inst = B.pack_instances(attrs, b.s_rank, b.rank_perm, b.rank_key,
+                            b.seg_start_gid, b.counts_gid,
                             b.order, b.n_live, G,
                             per_axis * per_axis)   # [K//G, 16, G]
     acc = op(inst, b.tile_start, b.tile_count)     # [T, 8, P]

@@ -79,7 +79,8 @@ def main():
 
     def pf_pack(s, i):
         p, b = bin_of(with_s(s))
-        inst = B.pack_instances(attrs_of(p), b.s_rank, b.seg_start_gid,
+        inst = B.pack_instances(attrs_of(p), b.s_rank, b.rank_perm,
+                                b.rank_key, b.seg_start_gid,
                                 b.counts_gid, b.order, b.n_live, G, DUP * DUP)
         return jnp.sum(inst[:, 0]) * 1e-9 + s
 
@@ -99,7 +100,8 @@ def main():
     # pack fwd+bwd in isolation (11-op sort now)
     def pack_loss(params):
         p, b = bin_of(params)
-        inst = B.pack_instances(attrs_of(p), b.s_rank, b.seg_start_gid,
+        inst = B.pack_instances(attrs_of(p), b.s_rank, b.rank_perm,
+                                b.rank_key, b.seg_start_gid,
                                 b.counts_gid, b.order, b.n_live, G, DUP * DUP)
         return jnp.sum(inst * inst) * 1e-9
 

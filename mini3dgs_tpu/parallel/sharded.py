@@ -36,7 +36,7 @@ from ..ops.projection import project_gaussians
 from ..ops.renderer import RenderSettings
 from ..train import density
 from ..train.optimizer import make_optimizer
-from ..train.trainer import TrainState
+from ..train.trainer import TrainState, _exposure_optimizer
 
 
 def _project(g: Gaussians, camera: Camera, settings: RenderSettings,
@@ -106,9 +106,16 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
     """Jitted SPMD train step: (TrainState, cameras[data_axis]) -> (state', metrics).
 
     State is replicated; the camera batch is sharded over `data`; the image is
-    band-sharded over `tile`.
+    band-sharded over `tile`.  With `config.use_exposure` the step takes a
+    third argument `cam_idx` ([data] int32): each data shard applies its
+    camera's learnable 3x4 affine exposure to its band before the banded
+    loss (pointwise per pixel, so bands compose exactly), and exposure
+    gradients follow the same psum(tile)+pmean(data) reduction as the
+    Gaussian gradients.
     """
     tx = make_optimizer(config)
+    use_exposure = bool(config.use_exposure)
+    tx_exp = _exposure_optimizer(config) if use_exposure else None
     n_tile = mesh.shape["tile"]
     H = settings.image_height
     ts = settings.tile_size
@@ -117,14 +124,19 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
         f"{ts}px tile rows")
     band_h = H // n_tile
 
-    def spmd_step(state: TrainState, cameras: Camera):
+    def spmd_step(state: TrainState, cameras: Camera, cam_idx=None):
         camera = jax.tree.map(lambda x: x[0], cameras)  # this device's camera
+        ci = cam_idx[0] if cam_idx is not None else None
 
-        def loss_fn(params):
+        def loss_fn(params, exposure):
             g = state.gaussians.with_params(params)
             row0 = jax.lax.axis_index("tile") * band_h
             out = _render_band(g, camera, settings, band_h, row0,
                                shard_axis="tile", n_shards=n_tile)
+            image = out["image"]
+            if exposure is not None:
+                from ..train.exposure import apply_exposure
+                image = apply_exposure(exposure[ci], image)
             # Banded loss with 5-row SSIM halo exchange over ICI — exact
             # global L1 + D-SSIM without gathering the full image
             # (core/loss.py: gaussian_loss_banded).
@@ -132,12 +144,17 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
                 camera.image, (0, row0, 0),
                 (3, band_h, settings.image_width))
             total, parts = gaussian_loss_banded(
-                out["image"], band_target, H, "tile", config.lambda_dssim)
+                image, band_target, H, "tile", config.lambda_dssim)
             total = jax.lax.pmean(total, "data")
             return total, parts
 
         params = state.gaussians.params()
-        grads, parts = jax.grad(loss_fn, has_aux=True)(params)
+        if use_exposure and state.exposure is not None:
+            (grads, exp_grads), parts = jax.grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, state.exposure)
+        else:
+            grads, parts = jax.grad(loss_fn, has_aux=True)(params, None)
+            exp_grads = None
         # band grads are partial sums -> psum over tile; camera-mean is built
         # into the pmean'd loss, but each data-shard differentiated only its
         # own camera's term, so also pmean over data.
@@ -152,19 +169,33 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = jax.tree.map(lambda p, u: p + u, params, updates)
         g = state.gaussians.with_params(new_params)
+        exposure, exp_opt = state.exposure, state.exp_opt_state
+        if exp_grads is not None:
+            exp_grads = jax.lax.psum(exp_grads, "tile")
+            exp_grads = jax.lax.pmean(exp_grads, "data")
+            exp_updates, exp_opt = tx_exp.update(exp_grads, exp_opt, exposure)
+            exposure = exposure + exp_updates
         # densification stats from the reduced grads (full-image grad norms)
         proj = _project(g, camera, settings, "tile", n_tile)
         g = density.accumulate_grad_stats(g, grads["xyz"], proj.radius,
                                           proj.visible)
         metrics = {k: jax.lax.pmean(v, ("data", "tile")) for k, v in parts.items()}
         return TrainState(gaussians=g, opt_state=opt_state,
-                          step=state.step + 1), metrics
+                          step=state.step + 1, exposure=exposure,
+                          exp_opt_state=exp_opt), metrics
 
-    sharded = shard_map(
-        spmd_step, mesh=mesh,
-        in_specs=(P(), P("data")),
-        out_specs=(P(), P()),
-        check_vma=False)
+    if use_exposure:
+        sharded = shard_map(
+            spmd_step, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False)
+    else:
+        sharded = shard_map(
+            lambda state, cameras: spmd_step(state, cameras), mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
 
 

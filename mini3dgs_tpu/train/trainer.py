@@ -236,9 +236,6 @@ class GaussianTrainer:
                 antialias=self.config.antialias,
                 sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)
         n_cams = len(self.train_cameras()) if self.dataset is not None else 0
-        if self.config.use_exposure and self.config.mesh_data * self.config.mesh_tile > 1:
-            raise NotImplementedError(
-                "per-camera exposure is single-device for now")
         self.state = create_train_state(gaussians, self.config,
                                         n_cameras=n_cams)
         self._train_steps = {}  # active SH degree -> jitted step
@@ -284,7 +281,14 @@ class GaussianTrainer:
                 lambda x: jnp.broadcast_to(x[None], (n,) + x.shape)
                 if x is not None else None, camera)
         if self.mesh is not None:
-            self.state, metrics = self._train_steps[deg](self.state, camera)
+            if self.config.use_exposure:
+                n = self.mesh.shape["data"]
+                ci = jnp.broadcast_to(
+                    jnp.asarray(cam_idx, jnp.int32).reshape(-1), (n,))
+                self.state, metrics = self._train_steps[deg](
+                    self.state, camera, ci)
+            else:
+                self.state, metrics = self._train_steps[deg](self.state, camera)
         else:
             self.state, metrics = self._train_steps[deg](
                 self.state, camera, jnp.int32(cam_idx))
@@ -302,11 +306,11 @@ class GaussianTrainer:
         for _ in range(iterations):
             it = self.iteration + 1
             if n_data > 1:
-                sel = [cams[int(rng.integers(len(cams)))] for _ in range(n_data)]
+                idxs = [int(rng.integers(len(cams))) for _ in range(n_data)]
                 # static metadata must match across the stack
-                sel = [c.replace(uid=0, image_name="") for c in sel]
+                sel = [cams[i].replace(uid=0, image_name="") for i in idxs]
                 cam = jax.tree.map(lambda *x: jnp.stack(x), *sel)
-                cam_idx = 0
+                cam_idx = np.asarray(idxs, np.int32)
             else:
                 cam_idx = int(rng.integers(len(cams)))
                 # normalize static metadata so every camera shares ONE

@@ -173,3 +173,42 @@ def test_sharded_binning_matches_replicated_bands():
         np.testing.assert_array_equal(got[3], np.asarray(ref.tile_count))
         assert int(np.asarray(out[4]).reshape(n)[i]) == int(ref.n_live)
         assert int(np.asarray(out[5]).reshape(n)[i]) == 0
+
+
+@requires_8
+def test_sharded_exposure_matches_single_device():
+    """Per-camera exposure on the (data, tile) mesh: the sharded step must
+    reproduce the single-device exposure step (same camera/index), update
+    only the selected camera's affine, and leave the others at identity."""
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False, use_exposure=True)
+    gs = random_scene(40, seed=2, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    target = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=target)
+    settings = RenderSettings(image_height=32, image_width=32)
+
+    state1 = create_train_state(gs, cfg, n_cameras=3)
+    state2 = create_train_state(jax.tree.map(jnp.copy, gs), cfg, n_cameras=3)
+    step1 = make_train_step(cfg, settings)
+    state1, m1 = step1(state1, cam, jnp.int32(1))
+
+    mesh = make_mesh(data=1, tile=2)
+    step2 = make_sharded_train_step(cfg, settings, mesh)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+    state2, m2 = step2(state2, cams, jnp.array([1], jnp.int32))
+
+    np.testing.assert_allclose(float(m2["total_loss"]),
+                               float(m1["total_loss"]), rtol=1e-5)
+    exp1 = np.asarray(state1.exposure)
+    exp2 = np.asarray(state2.exposure)
+    ident = np.concatenate([np.eye(3, dtype=np.float32),
+                            np.zeros((3, 1), np.float32)], axis=1)
+    # only camera 1's affine moved, and it matches the single-device update
+    np.testing.assert_array_equal(exp2[0], ident)
+    np.testing.assert_array_equal(exp2[2], ident)
+    assert np.abs(exp2[1] - ident).max() > 0
+    np.testing.assert_allclose(exp2[1], exp1[1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2.gaussians.xyz),
+                               np.asarray(state1.gaussians.xyz), atol=2e-5)

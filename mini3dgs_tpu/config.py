@@ -30,8 +30,9 @@ class TrainingConfig:
     output_path: str = "output"
 
     # -- training (reference config.py:41-43, default.yaml training:) --
+    # (the reference's generic `learning_rate` knob is dropped: it is unused
+    # there too — the real surface is the per-group LRs below)
     iterations: int = 30000
-    learning_rate: float = 0.0025
     batch_size: int = 1
     eval_interval: int = 1000
     save_interval: int = 5000

@@ -172,6 +172,8 @@ class BlenderDataset(CameraDataset):
                  half_res: bool = False):
         super().__init__(data_path)
         self.white_background = white_background
+        # render background the trainer must use so GT/bg stay consistent
+        self.bg_color = [1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0]
         self.half_res = half_res
 
     def _load_split(self, split: str, uid0: int = 0) -> List[Camera]:
@@ -190,7 +192,9 @@ class BlenderDataset(CameraDataset):
             img_file = self.data_path / (frame["file_path"] + ".png")
             if not img_file.exists():
                 img_file = self.data_path / frame["file_path"]
-            image = load_image(str(img_file)) if img_file.exists() else None
+            image = (load_image(str(img_file),
+                                bg=1.0 if self.white_background else 0.0)
+                     if img_file.exists() else None)
             if image is not None:
                 h, w = image.shape[-2], image.shape[-1]
             else:
@@ -276,7 +280,10 @@ def load_dataset(config: TrainingConfig) -> CameraDataset:
     """Dispatch on the on-disk layout (reference trainer setup pipeline)."""
     root = Path(config.data_path)
     if (root / "transforms_train.json").exists():
-        ds = BlenderDataset(str(root))
+        # honor a configured black background; anything else follows the
+        # NeRF-synthetic white convention (GT compositing must match)
+        white = list(config.background_color) != [0.0, 0.0, 0.0]
+        ds = BlenderDataset(str(root), white_background=white)
     elif (root / config.sparse_path).exists():
         ds = COLMAPDataset(str(root), images_path=config.images_path,
                            sparse_path=config.sparse_path)

@@ -69,15 +69,17 @@ def _project(g: Gaussians, camera: Camera, settings: RenderSettings,
 
 def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
                  band_h: int, row0, shard_axis: str = None,
-                 n_shards: int = 1) -> dict:
+                 n_shards: int = 1, proj=None) -> dict:
     """Render rows [row0, row0+band_h) of the full image.  `row0` may be a
     traced value (lax.axis_index * band_h).  All AABB math stays in global
     coordinates inside binning, so bands compose bit-identically to a
     single-device render.  With shard_axis/n_shards the candidate sort is
     itself sharded over the mesh (one all_to_all routes instances home) and
     projection is primitive-sharded (each device projects 1/n of the
-    Gaussians; one all_gather reassembles)."""
-    proj = _project(g, camera, settings, shard_axis, n_shards)
+    Gaussians; one all_gather reassembles).  A precomputed `proj` skips the
+    projection (callers that also need projection stats)."""
+    if proj is None:
+        proj = _project(g, camera, settings, shard_axis, n_shards)
     H, W = settings.image_height, settings.image_width
     bg = jnp.asarray(settings.bg_color, jnp.float32)
     if settings.use_pallas:
@@ -131,8 +133,12 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
         def loss_fn(params, exposure):
             g = state.gaussians.with_params(params)
             row0 = jax.lax.axis_index("tile") * band_h
+            # Project once; radii/visibility double as the pre-update
+            # densification stats (same semantics as the single-device step,
+            # which reads them off the forward render).
+            proj = _project(g, camera, settings, "tile", n_tile)
             out = _render_band(g, camera, settings, band_h, row0,
-                               shard_axis="tile", n_shards=n_tile)
+                               shard_axis="tile", n_shards=n_tile, proj=proj)
             image = out["image"]
             if exposure is not None:
                 from ..train.exposure import apply_exposure
@@ -146,15 +152,17 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
             total, parts = gaussian_loss_banded(
                 image, band_target, H, "tile", config.lambda_dssim)
             total = jax.lax.pmean(total, "data")
-            return total, parts
+            return total, (parts, jax.lax.stop_gradient(proj.radius),
+                           jax.lax.stop_gradient(proj.visible))
 
         params = state.gaussians.params()
         if use_exposure and state.exposure is not None:
-            (grads, exp_grads), parts = jax.grad(
+            (grads, exp_grads), aux = jax.grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, state.exposure)
         else:
-            grads, parts = jax.grad(loss_fn, has_aux=True)(params, None)
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params, None)
             exp_grads = None
+        parts, radii, visible = aux
         # band grads are partial sums -> psum over tile; camera-mean is built
         # into the pmean'd loss, but each data-shard differentiated only its
         # own camera's term, so also pmean over data.
@@ -176,9 +184,8 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
             exp_updates, exp_opt = tx_exp.update(exp_grads, exp_opt, exposure)
             exposure = exposure + exp_updates
         # densification stats from the reduced grads (full-image grad norms)
-        proj = _project(g, camera, settings, "tile", n_tile)
-        g = density.accumulate_grad_stats(g, grads["xyz"], proj.radius,
-                                          proj.visible)
+        # + the forward pass's pre-update radii/visibility
+        g = density.accumulate_grad_stats(g, grads["xyz"], radii, visible)
         metrics = {k: jax.lax.pmean(v, ("data", "tile")) for k, v in parts.items()}
         return TrainState(gaussians=g, opt_state=opt_state,
                           step=state.step + 1, exposure=exposure,

@@ -71,6 +71,25 @@ def size_mask_quantile(g: Gaussians, percent_dense: float) -> jnp.ndarray:
     return g.alive & (size > th)
 
 
+def should_prune(iteration: int, config: TrainingConfig) -> bool:
+    """Standalone prune cadence (reference default.yaml:35 `prune_interval`).
+
+    Runs only when a densify pass (which already prunes) is not scheduled at
+    this iteration, so the two cadences compose without double work."""
+    return (config.prune_interval > 0
+            and iteration % config.prune_interval == 0
+            and not should_densify(iteration, config))
+
+
+def prune_only(g: Gaussians, config: TrainingConfig) -> Tuple[Gaussians, jnp.ndarray]:
+    """Opacity-only prune (reference optimizer.py:64-66 keep-mask, without the
+    split/clone surgery).  Returns (gaussians, n_pruned)."""
+    opacity_sig = jax.nn.sigmoid(g.opacity[:, 0])
+    keep = opacity_sig > config.prune_opacity_threshold
+    n_pruned = (g.alive & ~keep).sum()
+    return g.replace(alive=g.alive & keep), n_pruned
+
+
 def densify_and_prune(g: Gaussians, key: jax.Array, scene_extent,
                       config: TrainingConfig) -> DensifyResult:
     C = g.capacity
@@ -138,9 +157,10 @@ def densify_and_prune(g: Gaussians, key: jax.Array, scene_extent,
     for slots in (slot_child1, slot_child2, slot_clone):
         alive = alive.at[slots].set(True, mode="drop")
 
-    # ---- prune by opacity (reference optimizer.py:64-66) ----
+    # ---- prune by opacity (reference optimizer.py:64-66; threshold from
+    # config like reference default.yaml:34 `prune_opacity_threshold`) ----
     opacity_sig = jax.nn.sigmoid(new["opacity"][:, 0])
-    keep = opacity_sig > 0.01
+    keep = opacity_sig > config.prune_opacity_threshold
     n_pruned = (alive & ~keep).sum()
     alive_final = alive & keep
 

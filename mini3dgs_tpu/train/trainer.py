@@ -131,14 +131,31 @@ def make_densify_step(config: TrainingConfig) -> Callable:
         result = density.densify_and_prune(state.gaussians, key, scene_extent,
                                            config)
         opt_state = reset_adam_slots(state.opt_state, result.changed_slots)
+        # exposure state rides through unchanged: densification only touches
+        # Gaussian slots, never the per-camera affines
         new_state = TrainState(gaussians=result.gaussians, opt_state=opt_state,
-                               step=state.step)
+                               step=state.step, exposure=state.exposure,
+                               exp_opt_state=state.exp_opt_state)
         stats = {"n_split": result.n_split, "n_clone": result.n_clone,
                  "n_pruned": result.n_pruned, "n_dropped": result.n_dropped,
                  "n_alive": result.gaussians.num_alive()}
         return new_state, stats
 
     return densify_step
+
+
+def make_prune_step(config: TrainingConfig) -> Callable:
+    """Standalone opacity prune at `prune_interval` cadence (reference
+    default.yaml:35).  Newly-dead slots get their Adam moments zeroed so that
+    masked (zero) grads produce exactly-zero updates from then on."""
+    @jax.jit
+    def prune_step(state: TrainState):
+        g, n_pruned = density.prune_only(state.gaussians, config)
+        newly_dead = state.gaussians.alive & ~g.alive
+        opt_state = reset_adam_slots(state.opt_state, newly_dead)
+        return state.replace(gaussians=g, opt_state=opt_state), n_pruned
+
+    return prune_step
 
 
 @jax.jit
@@ -225,9 +242,15 @@ class GaussianTrainer:
         self.gaussians = gaussians
         if self.settings is None:
             cam0 = self.train_cameras()[0]
+            # Datasets whose GT images are composited onto a fixed background
+            # (BlenderDataset.white_background) dictate the render background,
+            # so training optimizes against a consistent target.
+            bg = getattr(self.dataset, "bg_color", None)
+            if bg is None:
+                bg = self.config.background_color
             self.settings = RenderSettings(
                 image_height=cam0.height, image_width=cam0.width,
-                bg_color=jnp.asarray(self.config.background_color, jnp.float32),
+                bg_color=jnp.asarray(bg, jnp.float32),
                 tile_size=self.config.tile_size,
                 use_pallas=self.config.use_pallas,
                 max_instances=self.config.max_instances,
@@ -240,6 +263,7 @@ class GaussianTrainer:
                                         n_cameras=n_cams)
         self._train_steps = {}  # active SH degree -> jitted step
         self._densify_step = make_densify_step(self.config)
+        self._prune_step = make_prune_step(self.config)
         self.scene_extent = float(scene_extent_of(gaussians))
         # multi-device: (data, tile) mesh via parallel/sharded.py
         self.mesh = None
@@ -274,6 +298,7 @@ class GaussianTrainer:
             else:
                 self._train_steps[deg] = make_train_step(self.config,
                                                          self.settings, deg)
+        batched_camera = camera.R.ndim == 3
         if self.mesh is not None and camera.R.ndim == 2:
             # replicate a single camera across the data axis
             n = self.mesh.shape["data"]
@@ -283,8 +308,14 @@ class GaussianTrainer:
         if self.mesh is not None:
             if self.config.use_exposure:
                 n = self.mesh.shape["data"]
-                ci = jnp.broadcast_to(
-                    jnp.asarray(cam_idx, jnp.int32).reshape(-1), (n,))
+                ci = jnp.asarray(cam_idx, jnp.int32).reshape(-1)
+                if batched_camera and ci.shape[0] != n:
+                    raise ValueError(
+                        f"use_exposure with a batched camera needs an explicit "
+                        f"per-shard cam_idx of length {n} (got {ci.shape[0]}): "
+                        f"a scalar would silently train camera "
+                        f"{int(ci[0])}'s exposure for every data shard")
+                ci = jnp.broadcast_to(ci, (n,))
                 self.state, metrics = self._train_steps[deg](
                     self.state, camera, ci)
             else:
@@ -329,6 +360,9 @@ class GaussianTrainer:
                         self.state, 2 * self.state.gaussians.capacity)
                     self._train_steps = {}
                     self._densify_step = make_densify_step(self.config)
+            elif density.should_prune(it, self.config):
+                self.state, n_pruned = self._prune_step(self.state)
+                metrics["n_pruned"] = n_pruned
             if (self.config.opacity_reset_interval > 0
                     and it % self.config.opacity_reset_interval == 0
                     and it <= self.config.densify_until_iter):

@@ -32,9 +32,11 @@ def save_image(image, path: str) -> None:
     Image.fromarray(arr).save(path)
 
 
-def load_image(path: str) -> np.ndarray:
-    """Returns [3,H,W] float32 in [0,1]; alpha is composited onto white
-    following standard NeRF-synthetic convention when present as RGBA=..0."""
+def load_image(path: str, bg: float = 1.0) -> np.ndarray:
+    """Returns [3,H,W] float32 in [0,1].  RGBA alpha is composited onto `bg`
+    (scalar or [3]); default white follows the NeRF-synthetic convention, and
+    datasets with `white_background=False` pass bg=0.0 so GT stays consistent
+    with a black render background."""
     if not HAS_PIL:
         raise ImportError("PIL required for load_image")
     img = np.asarray(Image.open(path)).astype(np.float32) / 255.0
@@ -42,7 +44,7 @@ def load_image(path: str) -> np.ndarray:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] == 4:
         rgb, a = img[..., :3], img[..., 3:4]
-        img = rgb * a + (1.0 - a)  # white background composite
+        img = rgb * a + (1.0 - a) * np.asarray(bg, np.float32)
     return img.transpose(2, 0, 1)
 
 

@@ -241,3 +241,43 @@ def test_colmap_distortion_models():
     expected = g(sx, sy)
     err = np.abs(out - expected)[inside]
     assert err.max() < 2e-2  # bilinear error bound ~h^2/8*max|f""| ~ 0.011 here
+
+
+def test_blender_white_background_consistency(tmp_path):
+    """GT compositing must match the render background both ways (RGBA
+    alpha=0 pixels -> white when white_background, black otherwise), and the
+    dataset advertises the matching bg_color for the trainer."""
+    from PIL import Image
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[:4, :, :3] = 200       # top half: opaque gray
+    rgba[:4, :, 3] = 255
+    # bottom half: alpha = 0 (background)
+    (tmp_path / "train").mkdir()
+    Image.fromarray(rgba).save(tmp_path / "train" / "r_0.png")
+    c2w = np.eye(4)
+    meta = {"camera_angle_x": math.radians(60),
+            "frames": [{"file_path": "./train/r_0",
+                        "transform_matrix": c2w.tolist()}]}
+    (tmp_path / "transforms_train.json").write_text(json.dumps(meta))
+
+    ds_w = BlenderDataset(str(tmp_path), white_background=True)
+    ds_w.load_cameras()
+    img_w = np.asarray(ds_w.get_train_cameras()[0].image)
+    np.testing.assert_allclose(img_w[:, 6, 4], 1.0)      # bg pixel -> white
+    np.testing.assert_allclose(img_w[:, 1, 4], 200 / 255, atol=1e-6)
+    assert ds_w.bg_color == [1.0, 1.0, 1.0]
+
+    ds_b = BlenderDataset(str(tmp_path), white_background=False)
+    ds_b.load_cameras()
+    img_b = np.asarray(ds_b.get_train_cameras()[0].image)
+    np.testing.assert_allclose(img_b[:, 6, 4], 0.0)      # bg pixel -> black
+    assert ds_b.bg_color == [0.0, 0.0, 0.0]
+
+    # load_dataset honors a configured black background
+    from mini3dgs_tpu.config import TrainingConfig
+    ds = load_dataset(TrainingConfig(data_path=str(tmp_path),
+                                     background_color=[0.0, 0.0, 0.0]))
+    assert ds.bg_color == [0.0, 0.0, 0.0]
+    ds2 = load_dataset(TrainingConfig(data_path=str(tmp_path),
+                                      background_color=[1.0, 1.0, 1.0]))
+    assert ds2.bg_color == [1.0, 1.0, 1.0]

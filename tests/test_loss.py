@@ -26,21 +26,42 @@ def test_ssim_decreases_with_noise():
     assert 1.0 > s1 > s2 > 0.0
 
 
-def test_ssim_matches_skimage_when_available():
-    try:
-        from skimage.metrics import structural_similarity
-    except ImportError:
-        import pytest
-        pytest.skip("scikit-image not installed")
+def _ssim_numpy_oracle(a: np.ndarray, b: np.ndarray, K: int = 11) -> float:
+    """Independent float64 NumPy SSIM: explicit per-pixel window loops, same
+    definition as core/loss.py (Gaussian window sigma=K/6, zero 'same'
+    padding, C1=0.01^2, C2=0.03^2, map clamped to [0,1]).  Slow but it
+    shares no code with the JAX implementation, replacing the skimage
+    cross-check (scikit-image is not installable here)."""
+    x = np.arange(K, dtype=np.float64) - (K - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2.0 * (K / 6.0) ** 2))
+    g /= g.sum()
+    w = np.outer(g, g)
+    pad = K // 2
+    ap = np.pad(a.astype(np.float64), pad)
+    bp = np.pad(b.astype(np.float64), pad)
+    H, W = a.shape
+    total = 0.0
+    for i in range(H):
+        for j in range(W):
+            wa = ap[i:i + K, j:j + K]
+            wb = bp[i:i + K, j:j + K]
+            mx, my = (w * wa).sum(), (w * wb).sum()
+            sx = (w * wa * wa).sum() - mx * mx
+            sy = (w * wb * wb).sum() - my * my
+            sxy = (w * wa * wb).sum() - mx * my
+            val = ((2 * mx * my + 0.01 ** 2) * (2 * sxy + 0.03 ** 2)) / (
+                (mx * mx + my * my + 0.01 ** 2) * (sx + sy + 0.03 ** 2))
+            total += min(max(val, 0.0), 1.0)
+    return total / (H * W)
+
+
+def test_ssim_matches_independent_oracle():
     rng = np.random.default_rng(1)
-    a = rng.uniform(0, 1, (64, 64)).astype(np.float32)
-    b = np.clip(a + 0.1 * rng.standard_normal((64, 64)).astype(np.float32), 0, 1)
+    a = rng.uniform(0, 1, (24, 24)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.standard_normal((24, 24)).astype(np.float32), 0, 1)
     ours = float(ssim(jnp.asarray(a)[None], jnp.asarray(b)[None]))
-    theirs = structural_similarity(a, b, data_range=1.0, gaussian_weights=True,
-                                   win_size=11, sigma=11 / 6,
-                                   use_sample_covariance=False)
-    # Different padding at borders (zero-pad vs reflect); interior dominates.
-    assert abs(ours - theirs) < 0.03
+    oracle = _ssim_numpy_oracle(a, b)
+    assert abs(ours - oracle) < 2e-5, (ours, oracle)
 
 
 def test_gaussian_loss_combination():

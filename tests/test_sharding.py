@@ -212,3 +212,74 @@ def test_sharded_exposure_matches_single_device():
     np.testing.assert_allclose(exp2[1], exp1[1], atol=1e-6)
     np.testing.assert_allclose(np.asarray(state2.gaussians.xyz),
                                np.asarray(state1.gaussians.xyz), atol=2e-5)
+
+
+@requires_8
+def test_sharded_exposure_data2_matches_sequential():
+    """data=2 exposure: per-shard cam indices route each camera's grads to its
+    own affine.  Oracle: with distinct indices, the pmean halves each
+    camera's exposure grad, and Adam's first step is scale-invariant (up to
+    eps), so each row must match the single-device first step for that
+    camera.  With duplicate indices (both shards on camera 1, same target),
+    the pmean reproduces the single-camera grad exactly."""
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False, use_exposure=True,
+                         exposure_lr=5e-2)
+    gs = random_scene(40, seed=2, spread=0.35)
+    rng = np.random.default_rng(11)
+    cam = identity_camera(32, 32, 70.0)
+    t1 = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    t2 = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    settings = RenderSettings(image_height=32, image_width=32)
+    step1 = make_train_step(cfg, settings)
+    mesh = make_mesh(data=2, tile=2)
+    stepN = make_sharded_train_step(cfg, settings, mesh)
+
+    def fresh():
+        return create_train_state(jax.tree.map(jnp.copy, gs), cfg,
+                                  n_cameras=3)
+
+    # single-device oracles (independent first steps per camera)
+    sA, _ = step1(fresh(), cam.replace(image=t1), jnp.int32(1))
+    sB, _ = step1(fresh(), cam.replace(image=t2), jnp.int32(2))
+
+    # distinct indices (1, 2)
+    batch = jax.tree.map(lambda *x: jnp.stack(x),
+                         cam.replace(image=t1), cam.replace(image=t2))
+    sD, _ = stepN(fresh(), batch, jnp.array([1, 2], jnp.int32))
+    expD = np.asarray(sD.exposure)
+    np.testing.assert_allclose(expD[1], np.asarray(sA.exposure)[1], atol=1e-5)
+    np.testing.assert_allclose(expD[2], np.asarray(sB.exposure)[2], atol=1e-5)
+    ident = np.concatenate([np.eye(3, dtype=np.float32),
+                            np.zeros((3, 1), np.float32)], axis=1)
+    np.testing.assert_array_equal(expD[0], ident)
+
+    # duplicate indices (1, 1) with the same camera: exact single-cam grads
+    batch_dup = jax.tree.map(lambda *x: jnp.stack(x),
+                             cam.replace(image=t1), cam.replace(image=t1))
+    sDup, _ = stepN(fresh(), batch_dup, jnp.array([1, 1], jnp.int32))
+    np.testing.assert_allclose(np.asarray(sDup.exposure)[1],
+                               np.asarray(sA.exposure)[1], atol=1e-6)
+    # ... and the gaussian update equals the single-device one too
+    np.testing.assert_allclose(np.asarray(sDup.gaussians.xyz),
+                               np.asarray(sA.gaussians.xyz), atol=2e-5)
+
+
+@requires_8
+def test_trainer_batched_camera_requires_per_shard_cam_idx(tmp_path):
+    """With mesh + use_exposure, passing a batched camera without per-shard
+    indices must raise instead of silently training camera 0's exposure for
+    every shard."""
+    import pytest as _pytest
+    from tests.test_trainer_integration import build_trainer
+    trainer = build_trainer(tmp_path, iterations=4, mesh_data=2, mesh_tile=2,
+                            use_exposure=True)
+    cams = trainer.train_cameras()
+    sel = [cams[0].replace(uid=0, image_name=""),
+           cams[1].replace(uid=0, image_name="")]
+    batch = jax.tree.map(lambda *x: jnp.stack(x), *sel)
+    with _pytest.raises(ValueError, match="per-shard cam_idx"):
+        trainer.train_step(batch, 0)
+    # explicit per-shard indices work
+    m = trainer.train_step(batch, np.array([0, 1], np.int32))
+    assert np.isfinite(float(m["total_loss"]))

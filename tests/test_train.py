@@ -245,3 +245,102 @@ def test_exposure_compensation_learns_color_shift():
     np.testing.assert_array_equal(exp[0], np.asarray(M[0]))
     np.testing.assert_array_equal(exp[2], np.asarray(M[2]))
     assert losses[-1] < 0.5 * losses[0]
+
+
+def test_densify_preserves_exposure_state():
+    """Densification must carry exposure + its Adam state through (a dropped
+    exposure silently disables exposure training from the first densify)."""
+    cfg = small_config(use_exposure=True, densify_grad_threshold=1e-4)
+    g, cam = make_scene(capacity=256, n=32)
+    target = jnp.zeros((3, 32, 32))
+    cam = cam.replace(image=target)
+    settings = RenderSettings(image_height=32, image_width=32)
+    state = create_train_state(g, cfg, n_cameras=3)
+    step = make_train_step(cfg, settings)
+    for _ in range(3):
+        state, _ = step(state, cam, jnp.int32(1))
+    assert state.exposure is not None
+    exp_before = np.asarray(state.exposure)
+    state, _ = make_densify_step(cfg)(state, jax.random.PRNGKey(1),
+                                      jnp.float32(1.0))
+    assert state.exposure is not None and state.exp_opt_state is not None
+    np.testing.assert_array_equal(np.asarray(state.exposure), exp_before)
+    # ... and the post-densify train step still trains exposure
+    state, _ = step(state, cam, jnp.int32(1))
+    assert np.abs(np.asarray(state.exposure) - exp_before).max() > 0
+
+
+def test_prune_threshold_comes_from_config():
+    """`prune_opacity_threshold` is wired (reference default.yaml:34); a
+    threshold above a slot's opacity prunes it, a lower one keeps it."""
+    g, _ = make_scene(capacity=128, n=32)
+    # slot 0 at sigmoid(-3) ~ 0.047
+    g = g.replace(opacity=g.opacity.at[0].set(-3.0))
+    res_hi = density.densify_and_prune(
+        g, jax.random.PRNGKey(0), 1.0,
+        small_config(prune_opacity_threshold=0.05))
+    res_lo = density.densify_and_prune(
+        g, jax.random.PRNGKey(0), 1.0,
+        small_config(prune_opacity_threshold=0.01))
+    assert not bool(res_hi.gaussians.alive[0])
+    assert bool(res_lo.gaussians.alive[0])
+
+
+def test_prune_step_cadence_and_adam_reset():
+    """Standalone prune at `prune_interval` (reference default.yaml:35):
+    cadence excludes densify iterations, and newly-dead slots get zeroed
+    Adam moments so they never drift."""
+    cfg = small_config(prune_interval=50, densify_from_iter=1,
+                       densify_until_iter=1000, densify_interval=100)
+    assert density.should_prune(50, cfg)
+    assert not density.should_prune(100, cfg)   # densify handles it
+    assert not density.should_prune(55, cfg)
+    assert not density.should_prune(50, small_config(prune_interval=0))
+
+    from mini3dgs_tpu.train.trainer import make_prune_step
+    g, cam = make_scene(capacity=128, n=32)
+    cam = cam.replace(image=jnp.zeros((3, 32, 32)))
+    settings = RenderSettings(image_height=32, image_width=32)
+    state = create_train_state(g, cfg)
+    step = make_train_step(cfg, settings)
+    for _ in range(3):
+        state, _ = step(state, cam)  # build up nonzero Adam moments
+    # push slots 0..4 below the prune threshold
+    gs = state.gaussians
+    state = state.replace(gaussians=gs.replace(
+        opacity=gs.opacity.at[0:5].set(-10.0)))
+    state2, n_pruned = make_prune_step(cfg)(state)
+    assert int(n_pruned) >= 5
+    assert not np.any(np.asarray(state2.gaussians.alive[0:5]))
+    mu = state2.opt_state[0].mu
+    assert np.all(np.asarray(mu["xyz"])[0:5] == 0)
+    # dead slots stay put under further steps
+    xyz_before = np.asarray(state2.gaussians.xyz)[0:5]
+    state3, _ = step(state2, cam)
+    np.testing.assert_array_equal(np.asarray(state3.gaussians.xyz)[0:5],
+                                  xyz_before)
+
+
+def test_checkpoint_roundtrip_exposure(tmp_path):
+    """Exposure + its optimizer state survive save/load (resumed
+    exposure-enabled runs must not lose the per-camera affines)."""
+    from mini3dgs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    cfg = small_config(use_exposure=True)
+    g, cam = make_scene()
+    cam = cam.replace(image=jnp.zeros((3, 32, 32)))
+    settings = RenderSettings(image_height=32, image_width=32)
+    state = create_train_state(g, cfg, n_cameras=3)
+    step = make_train_step(cfg, settings)
+    for _ in range(3):
+        state, _ = step(state, cam, jnp.int32(1))
+    save_checkpoint(str(tmp_path), 3, state)
+    template = create_train_state(
+        jax.tree.map(jnp.copy, state.gaussians), cfg, n_cameras=3)
+    restored = load_checkpoint(str(tmp_path), 3, template)
+    assert restored.exposure is not None
+    np.testing.assert_array_equal(np.asarray(restored.exposure),
+                                  np.asarray(state.exposure))
+    # Adam moments of the exposure optimizer round-trip too
+    mu0 = np.asarray(state.exp_opt_state[0].mu)
+    mu1 = np.asarray(restored.exp_opt_state[0].mu)
+    np.testing.assert_array_equal(mu1, mu0)

@@ -163,10 +163,13 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
             grads, aux = jax.grad(loss_fn, has_aux=True)(params, None)
             exp_grads = None
         parts, radii, visible = aux
-        # band grads are partial sums -> psum over tile; camera-mean is built
-        # into the pmean'd loss, but each data-shard differentiated only its
-        # own camera's term, so also pmean over data.
-        grads = jax.lax.psum(grads, "tile")
+        # Band grads are partial sums -> reduce over tile.  The banded loss
+        # already psums over tile, and shard_map's legacy psum transpose
+        # (check_vma=False) returns each device's grad pre-multiplied by
+        # n_tile — so the correct reduction here is pmean, not psum
+        # (measured: psum inflated grads exactly n_tile x; Adam hid it, but
+        # densify stats were inflated).  Camera-mean over data as before.
+        grads = jax.lax.pmean(grads, "tile")
         grads = jax.lax.pmean(grads, "data")
         alive = state.gaussians.alive
 
@@ -179,7 +182,7 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
         g = state.gaussians.with_params(new_params)
         exposure, exp_opt = state.exposure, state.exp_opt_state
         if exp_grads is not None:
-            exp_grads = jax.lax.psum(exp_grads, "tile")
+            exp_grads = jax.lax.pmean(exp_grads, "tile")  # see grads comment
             exp_grads = jax.lax.pmean(exp_grads, "data")
             exp_updates, exp_opt = tx_exp.update(exp_grads, exp_opt, exposure)
             exposure = exposure + exp_updates

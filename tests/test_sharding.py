@@ -283,3 +283,34 @@ def test_trainer_batched_camera_requires_per_shard_cam_idx(tmp_path):
     # explicit per-shard indices work
     m = trainer.train_step(batch, np.array([0, 1], np.int32))
     assert np.isfinite(float(m["total_loss"]))
+
+
+@requires_8
+def test_sharded_grad_scale_matches_single_device():
+    """Scale-sensitive gate: xyz_gradient_accum (raw ||grad|| norms, no Adam
+    normalization) must match the single-device step exactly-ish across mesh
+    shapes.  Catches collective double-counting that Adam's scale invariance
+    hides (a psum-vs-pmean bug inflated these stats n_tile x)."""
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False)
+    gs = random_scene(40, seed=2, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    t1 = jnp.asarray(np.random.default_rng(7)
+                     .uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=t1)
+    settings = RenderSettings(image_height=32, image_width=32)
+
+    def fresh():
+        return create_train_state(jax.tree.map(jnp.copy, gs), cfg)
+
+    s1, _ = make_train_step(cfg, settings)(fresh(), cam)
+    acc1 = np.asarray(s1.gaussians.xyz_gradient_accum)
+
+    for d, t in [(1, 2), (2, 2), (4, 2)]:
+        mesh = make_mesh(data=d, tile=t)
+        stepN = make_sharded_train_step(cfg, settings, mesh)
+        batch = jax.tree.map(lambda *x: jnp.stack(x), *([cam] * d))
+        s2, _ = stepN(fresh(), batch)
+        acc2 = np.asarray(s2.gaussians.xyz_gradient_accum)
+        np.testing.assert_allclose(acc2, acc1, atol=1e-6, rtol=1e-4,
+                                   err_msg=f"mesh data={d} tile={t}")

@@ -86,6 +86,7 @@ class TrainingConfig:
     max_dup_per_axis: int = 0        # 0 = exact bound from radius_max; >0 shrinks the candidate sort
     mesh_data: int = 1               # camera/data-parallel mesh axis size
     mesh_tile: int = 1               # tile-parallel mesh axis size
+    shard_gauss_state: bool = False  # shard model+Adam state over the gauss axis (per-device memory ~C/n)
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
 
@@ -133,6 +134,7 @@ _NESTED_MAP = {
     ("tpu", "gaussian_chunk"): "gaussian_chunk",
     ("tpu", "mesh_data"): "mesh_data",
     ("tpu", "mesh_tile"): "mesh_tile",
+    ("tpu", "shard_gauss_state"): "shard_gauss_state",
     ("tpu", "use_pallas"): "use_pallas",
 }
 

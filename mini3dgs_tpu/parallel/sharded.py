@@ -232,3 +232,186 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
         out_specs=P(),
         check_vma=False)
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Gauss-axis sharded model + optimizer state (SURVEY §2.5 "TP").
+#
+# The replicated-state step above caps scene size at one device's HBM.  Here
+# every [C,...] leaf of the TrainState — Gaussian parameters, alive mask,
+# densify stat buffers, AND Adam moments — is sharded over the flattened
+# (data, tile) mesh axes, so per-device state memory is C/n_devices.  Each
+# device projects only its own slots; ONE all_gather over ICI reassembles the
+# compact projected stream (~16 floats/gaussian — far smaller than the ~59
+# floats of raw parameters+moments); its transpose reduce-scatters per-slot
+# gradients straight back to their owners, where the Adam update runs on the
+# local shard.  Densify/prune run as a GSPMD (jit + sharding annotations)
+# program at their 100-step cadence.
+# ---------------------------------------------------------------------------
+
+GAUSS_AXES = ("data", "tile")
+
+
+def train_state_specs(state: TrainState, mesh: Mesh):
+    """PartitionSpec pytree for a gauss-sharded TrainState: every leaf whose
+    leading dim equals the Gaussian capacity C is sharded over the flattened
+    (data, tile) axes; everything else (step, Adam counts, exposure) is
+    replicated."""
+    C = state.gaussians.xyz.shape[0]
+    n = mesh.shape["data"] * mesh.shape["tile"]
+    assert C % n == 0, f"capacity {C} must divide over {n} devices"
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == C:
+            return P(GAUSS_AXES)
+        return P()
+
+    g_specs = jax.tree.map(spec, state.gaussians)
+    opt_specs = jax.tree.map(spec, state.opt_state)
+    exp_specs = jax.tree.map(lambda x: P(), state.exposure)
+    exp_opt_specs = jax.tree.map(lambda x: P(), state.exp_opt_state)
+    return TrainState(gaussians=g_specs, opt_state=opt_specs, step=P(),
+                      exposure=exp_specs, exp_opt_state=exp_opt_specs)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """device_put the state with gauss-axis shardings (host -> mesh)."""
+    from jax.sharding import NamedSharding
+    specs = train_state_specs(state, mesh)
+    return jax.device_put(
+        state, jax.tree.map(lambda s: NamedSharding(mesh, s), specs))
+
+
+def make_gauss_sharded_train_step(config: TrainingConfig,
+                                  settings: RenderSettings,
+                                  mesh: Mesh, state: TrainState) -> Callable:
+    """Jitted SPMD train step over a gauss-sharded TrainState.
+
+    `state` is a template used only for pytree structure/capacity.  The
+    returned step expects (and returns) a state sharded per
+    `train_state_specs` (use `shard_train_state` once at setup).  Camera
+    batch semantics match make_sharded_train_step.
+    """
+    tx = make_optimizer(config)
+    use_exposure = bool(config.use_exposure)
+    tx_exp = _exposure_optimizer(config) if use_exposure else None
+    n_tile = mesh.shape["tile"]
+    n_data = mesh.shape["data"]
+    n_dev = n_tile * n_data
+    H = settings.image_height
+    ts = settings.tile_size
+    assert H % (n_tile * ts) == 0, (
+        f"image height {H} must split into {n_tile} bands of whole "
+        f"{ts}px tile rows")
+    band_h = H // n_tile
+    specs = train_state_specs(state, mesh)
+    kw = dict(radius_min=settings.radius_min, radius_max=settings.radius_max,
+              color_mode=settings.color_mode, sh_degree=settings.sh_degree,
+              scale_modifier=settings.scale_modifier,
+              antialias=settings.antialias)
+
+    def spmd_step(state: TrainState, cameras: Camera, cam_idx=None):
+        # state leaves here are the LOCAL shards ([C/n, ...] rows).
+        camera = jax.tree.map(lambda x: x[0], cameras)
+        ci = cam_idx[0] if cam_idx is not None else None
+
+        def loss_fn(local_params, exposure):
+            g_local = state.gaussians.with_params(local_params)
+            proj_local = project_gaussians(g_local, camera, **kw)
+            # ONE all_gather of the compact projected stream reassembles the
+            # full set in global slot order (d-major over (data, tile)); its
+            # transpose reduce-scatters grads back to slot owners.
+            proj = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, GAUSS_AXES, axis=0,
+                                             tiled=True), proj_local)
+            row0 = jax.lax.axis_index("tile") * band_h
+            out = _render_band(None, camera, settings, band_h, row0,
+                               shard_axis="tile", n_shards=n_tile, proj=proj)
+            image = out["image"]
+            if exposure is not None:
+                from ..train.exposure import apply_exposure
+                image = apply_exposure(exposure[ci], image)
+            band_target = jax.lax.dynamic_slice(
+                camera.image, (0, row0, 0),
+                (3, band_h, settings.image_width))
+            total, parts = gaussian_loss_banded(
+                image, band_target, H, "tile", config.lambda_dssim)
+            total = jax.lax.pmean(total, "data")
+            return total, (parts, jax.lax.stop_gradient(proj_local.radius),
+                           jax.lax.stop_gradient(proj_local.visible))
+
+        params = state.gaussians.params()  # local shard rows
+        if use_exposure and state.exposure is not None:
+            (grads, exp_grads), aux = jax.grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, state.exposure)
+        else:
+            grads, aux = jax.grad(loss_fn, has_aux=True)(params, None)
+            exp_grads = None
+        parts, radii, visible = aux
+        # The all_gather transpose already psum-scattered grads to owners,
+        # but under the legacy psum transpose (check_vma=False) each band's
+        # cotangent arrives pre-multiplied by n_tile, and the data-axis sum
+        # needs the camera mean: net normalization 1/(n_tile * n_data)
+        # (pinned by tests/test_sharding.py grad-scale gates).
+        grads = jax.tree.map(lambda x: x / n_dev, grads)
+        alive = state.gaussians.alive
+
+        def mask_dead(x):
+            return jnp.where(alive.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0.0)
+
+        grads = jax.tree.map(mask_dead, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        g = state.gaussians.with_params(new_params)
+        exposure, exp_opt = state.exposure, state.exp_opt_state
+        if exp_grads is not None:
+            exp_grads = jax.lax.pmean(exp_grads, GAUSS_AXES)
+            exp_updates, exp_opt = tx_exp.update(exp_grads, exp_opt, exposure)
+            exposure = exposure + exp_updates
+        g = density.accumulate_grad_stats(g, grads["xyz"], radii, visible)
+        metrics = {k: jax.lax.pmean(v, GAUSS_AXES) for k, v in parts.items()}
+        return TrainState(gaussians=g, opt_state=opt_state,
+                          step=state.step + 1, exposure=exposure,
+                          exp_opt_state=exp_opt), metrics
+
+    out_metric_specs = P()
+    if use_exposure:
+        sharded = shard_map(
+            spmd_step, mesh=mesh,
+            in_specs=(specs, P("data"), P("data")),
+            out_specs=(specs, out_metric_specs),
+            check_vma=False)
+    else:
+        sharded = shard_map(
+            lambda state, cameras: spmd_step(state, cameras), mesh=mesh,
+            in_specs=(specs, P("data")),
+            out_specs=(specs, out_metric_specs),
+            check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_gauss_sharded_densify_step(config: TrainingConfig, mesh: Mesh,
+                                    state: TrainState) -> Callable:
+    """Densify/prune over a gauss-sharded state as a GSPMD program: plain jnp
+    surgery (global cumsum/nonzero over C) jitted with sharding-annotated
+    outputs — XLA inserts the gathers; runs every densify_interval steps, so
+    the collectives amortize."""
+    from jax.sharding import NamedSharding
+    from ..train.optimizer import reset_adam_slots
+    specs = train_state_specs(state, mesh)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+
+    @partial(jax.jit, out_shardings=(shardings, None), donate_argnums=(0,))
+    def densify_step(state: TrainState, key, scene_extent):
+        result = density.densify_and_prune(state.gaussians, key, scene_extent,
+                                           config)
+        opt_state = reset_adam_slots(state.opt_state, result.changed_slots)
+        new_state = TrainState(gaussians=result.gaussians, opt_state=opt_state,
+                               step=state.step, exposure=state.exposure,
+                               exp_opt_state=state.exp_opt_state)
+        stats = {"n_split": result.n_split, "n_clone": result.n_clone,
+                 "n_pruned": result.n_pruned, "n_dropped": result.n_dropped,
+                 "n_alive": result.gaussians.num_alive()}
+        return new_state, stats
+
+    return densify_step

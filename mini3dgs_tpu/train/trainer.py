@@ -270,6 +270,14 @@ class GaussianTrainer:
         if self.config.mesh_data * self.config.mesh_tile > 1:
             from ..parallel.mesh import make_mesh
             self.mesh = make_mesh(self.config.mesh_data, self.config.mesh_tile)
+            if self.config.shard_gauss_state:
+                # shard model + Adam state over the gauss axis: per-device
+                # state memory ~C/n (SURVEY §2.5 TP)
+                from ..parallel.sharded import (
+                    make_gauss_sharded_densify_step, shard_train_state)
+                self.state = shard_train_state(self.state, self.mesh)
+                self._densify_step = make_gauss_sharded_densify_step(
+                    self.config, self.mesh, self.state)
 
     def train_cameras(self) -> Sequence[Camera]:
         return self.dataset.get_train_cameras() if self.dataset else []
@@ -291,10 +299,15 @@ class GaussianTrainer:
         deg = self.active_sh_degree()
         if deg not in self._train_steps:
             if self.mesh is not None:
-                from ..parallel.sharded import make_sharded_train_step
+                from ..parallel.sharded import (make_gauss_sharded_train_step,
+                                                make_sharded_train_step)
                 settings = self.settings.replace(sh_degree=deg)
-                self._train_steps[deg] = make_sharded_train_step(
-                    self.config, settings, self.mesh)
+                if self.config.shard_gauss_state:
+                    self._train_steps[deg] = make_gauss_sharded_train_step(
+                        self.config, settings, self.mesh, self.state)
+                else:
+                    self._train_steps[deg] = make_sharded_train_step(
+                        self.config, settings, self.mesh)
             else:
                 self._train_steps[deg] = make_train_step(self.config,
                                                          self.settings, deg)
@@ -359,7 +372,14 @@ class GaussianTrainer:
                     self.state = grow_capacity(
                         self.state, 2 * self.state.gaussians.capacity)
                     self._train_steps = {}
-                    self._densify_step = make_densify_step(self.config)
+                    if self.config.shard_gauss_state and self.mesh is not None:
+                        from ..parallel.sharded import (
+                            make_gauss_sharded_densify_step, shard_train_state)
+                        self.state = shard_train_state(self.state, self.mesh)
+                        self._densify_step = make_gauss_sharded_densify_step(
+                            self.config, self.mesh, self.state)
+                    else:
+                        self._densify_step = make_densify_step(self.config)
             elif density.should_prune(it, self.config):
                 self.state, n_pruned = self._prune_step(self.state)
                 metrics["n_pruned"] = n_pruned

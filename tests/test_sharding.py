@@ -314,3 +314,139 @@ def test_sharded_grad_scale_matches_single_device():
         acc2 = np.asarray(s2.gaussians.xyz_gradient_accum)
         np.testing.assert_allclose(acc2, acc1, atol=1e-6, rtol=1e-4,
                                    err_msg=f"mesh data={d} tile={t}")
+
+
+@requires_8
+def test_gauss_sharded_state_step_matches_replicated():
+    """Model + Adam state sharded over the gauss axis (SURVEY §2.5 TP): the
+    step must reproduce the replicated-state step (params AND raw grad-norm
+    stats), per-device state memory must be C/n, and densify must work on
+    the sharded state."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mini3dgs_tpu.parallel.sharded import (
+        make_gauss_sharded_densify_step, make_gauss_sharded_train_step,
+        shard_train_state, train_state_specs)
+
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False)
+    gs = random_scene(40, seed=2, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    t1 = jnp.asarray(np.random.default_rng(7)
+                     .uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=t1)
+    settings = RenderSettings(image_height=32, image_width=32)
+
+    # replicated oracle (tile-sharded step, state P())
+    mesh = make_mesh(data=2, tile=2)
+    s_ref = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
+    step_ref = make_sharded_train_step(cfg, settings, mesh)
+    batch = jax.tree.map(lambda *x: jnp.stack(x), cam, cam)
+    s_ref, m_ref = step_ref(s_ref, batch)
+
+    # gauss-sharded state
+    s0 = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
+    s0 = shard_train_state(s0, mesh)
+    # per-device shard of every [C,...] leaf is C/4 rows
+    C = s0.gaussians.capacity
+    xyz_shards = s0.gaussians.xyz.addressable_shards
+    assert all(sh.data.shape[0] == C // 4 for sh in xyz_shards)
+    mu_shards = s0.opt_state[0].mu["xyz"].addressable_shards
+    assert all(sh.data.shape[0] == C // 4 for sh in mu_shards)
+
+    step = make_gauss_sharded_train_step(cfg, settings, mesh, s0)
+    s1, m1 = step(s0, batch)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.gaussians.xyz),
+                               np.asarray(s_ref.gaussians.xyz), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.gaussians.opacity),
+                               np.asarray(s_ref.gaussians.opacity), atol=3e-3)
+    # scale-sensitive: raw accumulated grad norms match (collective factors)
+    np.testing.assert_allclose(np.asarray(s1.gaussians.xyz_gradient_accum),
+                               np.asarray(s_ref.gaussians.xyz_gradient_accum),
+                               atol=1e-6, rtol=1e-4)
+    # the updated state keeps its sharding (no silent replication)
+    assert s1.gaussians.xyz.sharding.spec == P(("data", "tile"))
+    assert s1.opt_state[0].mu["xyz"].sharding.spec == P(("data", "tile"))
+
+    # densify on the sharded state: force split/clone candidates
+    import math as _m
+    g1 = s1.gaussians
+    scaling = g1.scaling.at[0:4].set(_m.log(0.05)).at[4:8].set(_m.log(0.005))
+    accum = jnp.zeros_like(g1.xyz_gradient_accum).at[0:8].set(1.0)
+    denom = jnp.zeros_like(g1.denom).at[0:8].set(1.0)
+    s1 = s1.replace(gaussians=g1.replace(
+        scaling=scaling, xyz_gradient_accum=accum, denom=denom))
+    s1 = jax.device_put(s1, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), train_state_specs(s1, mesh)))
+    dstep = make_gauss_sharded_densify_step(cfg, mesh, s1)
+    s2, stats = dstep(s1, jax.random.PRNGKey(0), jnp.float32(1.0))
+    assert int(stats["n_split"]) == 4 and int(stats["n_clone"]) == 4
+    assert s2.gaussians.xyz.sharding.spec == P(("data", "tile"))
+    assert int(s2.gaussians.num_alive()) == int(stats["n_alive"])
+
+
+@requires_8
+def test_trainer_with_gauss_sharded_state(tmp_path):
+    """GaussianTrainer orchestration with shard_gauss_state: full loop incl.
+    densify on a sharded state."""
+    from jax.sharding import PartitionSpec as P
+    from tests.test_trainer_integration import build_trainer
+    trainer = build_trainer(tmp_path, iterations=6, mesh_data=2, mesh_tile=2,
+                            shard_gauss_state=True)
+    assert trainer.state.gaussians.xyz.sharding.spec == P(("data", "tile"))
+    trainer.train(iterations=6)
+    assert trainer.iteration == 6
+    assert np.isfinite(trainer.train_losses[-1] if trainer.train_losses else 0.0)
+    # state still sharded after steps + densify
+    assert trainer.state.gaussians.xyz.sharding.spec == P(("data", "tile"))
+    assert trainer.state.opt_state[0].mu["xyz"].sharding.spec == P(("data", "tile"))
+
+
+@requires_8
+def test_gauss_sharded_large_capacity_smoke():
+    """1M-slot capacity with sharded state on the virtual mesh: the step runs
+    with per-device param memory C/8 (the Pallas interpret path keeps the
+    instance stream small so this stays CPU-feasible)."""
+    from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
+                                               shard_train_state)
+    C = 1 << 20
+    cfg = TrainingConfig(capacity=C, image_height=32, image_width=32,
+                         use_pallas=True, max_instances=4096,
+                         gaussian_chunk=32)
+    import math as _m
+    rng = np.random.default_rng(0)
+    n = 512
+    from mini3dgs_tpu.core.gaussians import Gaussians
+    xyz = np.zeros((C, 3), np.float32)
+    xyz[:n] = (rng.random((n, 3)) - 0.5) * 1.4
+    fdc = np.zeros((C, 1, 3), np.float32)
+    fdc[:n] = rng.random((n, 1, 3))
+    scal = np.full((C, 3), -10.0, np.float32)
+    scal[:n] = _m.log(0.05)
+    rot = np.zeros((C, 4), np.float32)
+    rot[:, 0] = 1.0
+    opac = np.full((C, 1), -10.0, np.float32)
+    opac[:n] = -1.0
+    alive = np.zeros(C, bool)
+    alive[:n] = True
+    gs = Gaussians(xyz=jnp.asarray(xyz), features_dc=jnp.asarray(fdc),
+                   features_rest=jnp.zeros((C, 15, 3), jnp.float32),
+                   scaling=jnp.asarray(scal), rotation=jnp.asarray(rot),
+                   opacity=jnp.asarray(opac), alive=jnp.asarray(alive),
+                   xyz_gradient_accum=jnp.zeros(C), denom=jnp.zeros(C),
+                   max_radii2D=jnp.zeros(C))
+    cam = identity_camera(32, 32, 70.0)
+    cam = cam.replace(image=jnp.zeros((3, 32, 32)))
+    settings = RenderSettings(image_height=32, image_width=32,
+                              use_pallas=True, max_instances=4096,
+                              gaussian_chunk=32)
+    mesh = make_mesh(data=2, tile=2)
+    state = shard_train_state(create_train_state(gs, cfg), mesh)
+    assert all(sh.data.shape[0] == C // 4
+               for sh in state.gaussians.xyz.addressable_shards)
+    step = make_gauss_sharded_train_step(cfg, settings, mesh, state)
+    batch = jax.tree.map(lambda *x: jnp.stack(x), cam, cam)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert np.all(np.isfinite(np.asarray(state.gaussians.xyz[:n])))

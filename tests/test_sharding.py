@@ -450,3 +450,31 @@ def test_gauss_sharded_large_capacity_smoke():
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["total_loss"]))
     assert np.all(np.isfinite(np.asarray(state.gaussians.xyz[:n])))
+
+
+@requires_8
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """A gauss-sharded TrainState round-trips through orbax without a host-0
+    gather: restored leaves come back with the template's shardings and
+    exact values."""
+    from jax.sharding import PartitionSpec as P
+    from mini3dgs_tpu.parallel.sharded import shard_train_state
+    from mini3dgs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False)
+    gs = random_scene(40, seed=2, spread=0.35)
+    mesh = make_mesh(data=2, tile=2)
+    state = shard_train_state(create_train_state(gs, cfg), mesh)
+    save_checkpoint(str(tmp_path), 7, state)
+
+    template = jax.tree.map(jnp.zeros_like, state)  # keeps shardings
+    restored = load_checkpoint(str(tmp_path), 7, template)
+    assert restored.gaussians.xyz.sharding.spec == P(("data", "tile"))
+    assert restored.opt_state[0].mu["xyz"].sharding.spec == P(("data", "tile"))
+    np.testing.assert_array_equal(np.asarray(restored.gaussians.xyz),
+                                  np.asarray(state.gaussians.xyz))
+    np.testing.assert_array_equal(np.asarray(restored.gaussians.alive),
+                                  np.asarray(state.gaussians.alive))
+    np.testing.assert_array_equal(np.asarray(restored.opt_state[0].mu["xyz"]),
+                                  np.asarray(state.opt_state[0].mu["xyz"]))

@@ -237,6 +237,11 @@ class GaussianTrainer:
         if gaussians is None:
             from ..core.gaussians import create_from_pcd
             points, colors = dataset.get_point_cloud()
+            if self.config.color_mode == "sh" and colors is not None:
+                # SH decode is rgb = C0*dc + 0.5 (core/sh.py); invert the DC
+                # term so the initial render reproduces the pcd colors
+                from ..core.sh import C0
+                colors = (np.asarray(colors, np.float32) - 0.5) / C0
             cap = max(self.config.capacity, 1 << int(np.ceil(np.log2(max(len(points), 2)))))
             gaussians = create_from_pcd(points, colors, capacity=cap)
         self.gaussians = gaussians
@@ -252,9 +257,12 @@ class GaussianTrainer:
                 image_height=cam0.height, image_width=cam0.width,
                 bg_color=jnp.asarray(bg, jnp.float32),
                 tile_size=self.config.tile_size,
+                radius_min=self.config.radius_min,
+                radius_max=self.config.radius_max,
                 use_pallas=self.config.use_pallas,
                 max_instances=self.config.max_instances,
                 gaussian_chunk=self.config.gaussian_chunk,
+                max_dup_per_axis=self.config.max_dup_per_axis,
                 color_mode=self.config.color_mode,
                 antialias=self.config.antialias,
                 sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)
@@ -336,7 +344,9 @@ class GaussianTrainer:
         else:
             self.state, metrics = self._train_steps[deg](
                 self.state, camera, jnp.int32(cam_idx))
-        self.iteration = int(self.state.step)
+        # host-side mirror of state.step: int(state.step) would block on the
+        # async dispatch every step (costly through the remote TPU tunnel)
+        self.iteration += 1
         return metrics
 
     def train(self, iterations: Optional[int] = None,

@@ -1,0 +1,342 @@
+"""Generate a NeRF-synthetic-format dataset from a hidden procedural model.
+
+The upstream BASELINE configs call for training on real scenes (NeRF-synthetic
+lego); with no network egress the dataset files cannot be fetched, so this
+script procedurally builds an equivalent benchmark scene: ground-truth images
+come from a *different renderer family* (a ray-marched SDF scene with
+Lambertian shading — nothing the Gaussian model could trivially memorize),
+rendered at 800x800 from cameras on the upper hemisphere, and written in the
+exact `transforms_{train,test}.json` + RGBA-PNG layout that
+`mini3dgs_tpu.data.dataset.BlenderDataset` (and original NeRF/3DGS loaders)
+consume.
+
+Ray generation matches the renderer's camera model exactly
+(ops/projection.py: xpix = fx X/Z + cx, ypix = -fy Y/Z + cy, integer pixel
+coords), so a perfectly-fit Gaussian model could in principle reach GT.
+
+Usage:
+    python scripts/make_synthetic_scene.py --out data/sdf_scene \
+        [--n-train 64] [--n-test 8] [--size 800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+FOVX = 0.6911112070083618  # camera_angle_x of NeRF-synthetic lego
+
+
+# --------------------------------------------------------------------------
+# SDF scene (the hidden model)
+# --------------------------------------------------------------------------
+
+def _build_renderer(size: int, spp: int = 2):
+    """Returns a jitted (R, T) -> RGBA renderer.  R: our C2W rotation
+    (columns = camera basis, +z forward, y-down pixels), T: camera center."""
+    import jax
+    import jax.numpy as jnp
+
+    H = W = size
+    fx = fy = 0.5 * W / math.tan(FOVX / 2)
+    cx, cy = 0.5 * W, 0.5 * H
+
+    def sd_sphere(p, c, r):
+        return jnp.linalg.norm(p - c, axis=-1) - r
+
+    def sd_torus(p, c, R_, r_):
+        q = p - c
+        qxz = jnp.sqrt(q[..., 0] ** 2 + q[..., 2] ** 2) - R_
+        return jnp.sqrt(qxz ** 2 + q[..., 1] ** 2) - r_
+
+    def sd_box(p, c, b, rad):
+        q = jnp.abs(p - c) - b
+        return (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+                + jnp.minimum(jnp.maximum(q[..., 0],
+                                          jnp.maximum(q[..., 1], q[..., 2])),
+                              0.0) - rad)
+
+    # object list: (sdf fn, albedo fn)
+    def albedo_torus(p):
+        ang = jnp.arctan2(p[..., 2], p[..., 0])
+        stripe = 0.5 + 0.5 * jnp.sin(6.0 * ang)
+        return jnp.stack([0.85 * stripe + 0.1, 0.25 + 0.2 * stripe,
+                          0.2 * jnp.ones_like(stripe)], axis=-1)
+
+    def albedo_sphere(p):
+        checker = ((jnp.floor(p[..., 0] * 6) + jnp.floor(p[..., 1] * 6)
+                    + jnp.floor(p[..., 2] * 6)) % 2)
+        return jnp.stack([0.15 + 0.1 * checker, 0.35 + 0.45 * checker,
+                          0.8 - 0.3 * checker], axis=-1)
+
+    def albedo_box(p):
+        g = 0.5 + 0.5 * jnp.sin(10.0 * p[..., 1])
+        return jnp.stack([0.9 * jnp.ones_like(g), 0.75 * g + 0.15,
+                          0.15 + 0.2 * g], axis=-1)
+
+    def albedo_const(rgb):
+        def f(p):
+            return jnp.broadcast_to(jnp.asarray(rgb, jnp.float32),
+                                    p.shape[:-1] + (3,))
+        return f
+
+    objects = [
+        (lambda p: sd_torus(p, jnp.array([0.0, -0.15, 0.0]), 0.75, 0.22),
+         albedo_torus),
+        (lambda p: sd_sphere(p, jnp.array([0.45, 0.38, -0.25]), 0.34),
+         albedo_sphere),
+        (lambda p: sd_box(p, jnp.array([-0.55, 0.25, 0.35]),
+                          jnp.array([0.22, 0.3, 0.2]), 0.05), albedo_box),
+        (lambda p: sd_sphere(p, jnp.array([-0.2, -0.1, -0.65]), 0.18),
+         albedo_const([0.9, 0.9, 0.25])),
+        (lambda p: sd_sphere(p, jnp.array([0.75, -0.35, 0.55]), 0.15),
+         albedo_const([0.35, 0.9, 0.5])),
+        (lambda p: sd_torus(p, jnp.array([0.05, 0.75, 0.3]), 0.3, 0.09),
+         albedo_const([0.55, 0.35, 0.95])),
+    ]
+
+    def scene_sdf(p):
+        ds = jnp.stack([o[0](p) for o in objects], axis=-1)  # [..., n_obj]
+        return ds.min(axis=-1), ds.argmin(axis=-1)
+
+    def scene_albedo(p, oid):
+        cols = jnp.stack([o[1](p) for o in objects], axis=-2)  # [..., n_obj, 3]
+        return jnp.take_along_axis(cols, oid[..., None, None],
+                                   axis=-2)[..., 0, :]
+
+    lights = [
+        (jnp.asarray([0.5, 0.7, -0.5]), 0.9),   # key
+        (jnp.asarray([-0.6, 0.4, 0.6]), 0.45),  # fill
+    ]
+    AMBIENT = 0.22
+
+    def render(R, T):
+        """R [3,3] C2W (+z forward), T [3] center -> [H,W,4] float RGBA."""
+        # spp x spp subpixel supersampling
+        sub = (jnp.arange(spp) + 0.5) / spp - 0.5
+        jj, ii = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                              jnp.arange(H, dtype=jnp.float32))
+
+        def render_sub(dx, dy):
+            x = (jj + dx - cx) / fx
+            y = -(ii + dy - cy) / fy
+            d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+            d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+            d = d_cam @ R.T                               # world directions
+            o = jnp.broadcast_to(T, d.shape)
+
+            def march(carry, _):
+                t, _hit = carry
+                p = o + t[..., None] * d
+                dist, _ = scene_sdf(p)
+                t = t + jnp.maximum(dist, 0.0) * 0.9
+                return (t, dist < 1e-3), None
+
+            t0 = jnp.full(d.shape[:-1], 0.05, jnp.float32)
+            (t, hit), _ = jax.lax.scan(march, (t0, t0 < 0), None, length=192)
+            hit = hit & (t < 12.0)
+            p = o + t[..., None] * d
+            _, oid = scene_sdf(p)
+            # normal by central differences
+            eps = 1e-3
+            def sd0(q):
+                return scene_sdf(q)[0]
+            n = jnp.stack([
+                sd0(p + jnp.array([eps, 0, 0])) - sd0(p - jnp.array([eps, 0, 0])),
+                sd0(p + jnp.array([0, eps, 0])) - sd0(p - jnp.array([0, eps, 0])),
+                sd0(p + jnp.array([0, 0, eps])) - sd0(p - jnp.array([0, 0, eps])),
+            ], axis=-1)
+            n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+            alb = scene_albedo(p, oid)
+            shade = AMBIENT
+            for ldir, lint in lights:
+                ldir = ldir / jnp.linalg.norm(ldir)
+                shade = shade + lint * jnp.maximum((n * ldir).sum(-1), 0.0)
+            rgb = jnp.clip(alb * shade[..., None], 0.0, 1.0)
+            a = hit.astype(jnp.float32)
+            return rgb * a[..., None], a
+
+        rgb_acc = jnp.zeros((H, W, 3), jnp.float32)
+        a_acc = jnp.zeros((H, W), jnp.float32)
+        for dy in sub:
+            for dx in sub:
+                rgb, a = render_sub(dx, dy)
+                rgb_acc = rgb_acc + rgb
+                a_acc = a_acc + a
+        rgb_acc = rgb_acc / (spp * spp)
+        a_acc = a_acc / (spp * spp)
+        # store premultiplied-unpremultiplied: PNG expects straight alpha
+        straight = jnp.where(a_acc[..., None] > 1e-6,
+                             rgb_acc / jnp.maximum(a_acc[..., None], 1e-6),
+                             0.0)
+        return jnp.concatenate([jnp.clip(straight, 0, 1),
+                                a_acc[..., None]], axis=-1)
+
+    return jax.jit(render)
+
+
+def camera_pose(theta: float, phi: float, radius: float):
+    """Camera on the sphere looking at the origin.  Returns (R, T) in OUR
+    convention (C2W columns = [right, up, fwd], +z forward)."""
+    center = np.array([radius * math.cos(phi) * math.sin(theta),
+                       radius * math.sin(phi),
+                       -radius * math.cos(phi) * math.cos(theta)], np.float64)
+    fwd = -center / np.linalg.norm(center)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)
+    nr = np.linalg.norm(right)
+    if nr < 1e-6:
+        right = np.array([1.0, 0.0, 0.0])
+        nr = 1.0
+    right = right / nr
+    upv = np.cross(fwd, right)
+    R = np.stack([right, upv, fwd], axis=1)
+    return R.astype(np.float32), center.astype(np.float32)
+
+
+def to_blender_c2w(R: np.ndarray, T: np.ndarray) -> np.ndarray:
+    """Inverse of BlenderDataset's convention flip (dataset.py:188):
+    c2w_blender[:3,:3] = R_ours @ diag(1,-1,-1)."""
+    c2w = np.eye(4, dtype=np.float64)
+    c2w[:3, :3] = R @ np.diag([1.0, -1.0, -1.0])
+    c2w[:3, 3] = T
+    return c2w
+
+
+def sample_surface_points(n: int = 30000, seed: int = 1):
+    """Analytic surface samples + shaded albedo colors (pure numpy) — the
+    stand-in for the SfM/COLMAP seed points real scenes provide.  Written as
+    `points3d.ply` which BlenderDataset.get_point_cloud prefers over random
+    init."""
+    rng = np.random.default_rng(seed)
+
+    def torus(c, R_, r_, m):
+        u = rng.uniform(0, 2 * math.pi, m)
+        v = rng.uniform(0, 2 * math.pi, m)
+        return np.stack([c[0] + (R_ + r_ * np.cos(v)) * np.cos(u),
+                         c[1] + r_ * np.sin(v),
+                         c[2] + (R_ + r_ * np.cos(v)) * np.sin(u)], axis=1)
+
+    def sphere(c, r_, m):
+        d = rng.standard_normal((m, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return np.asarray(c) + r_ * d
+
+    def box(c, b, m):
+        # sample on the 6 faces, area-weighted
+        b = np.asarray(b)
+        areas = np.array([b[1] * b[2], b[1] * b[2], b[0] * b[2],
+                          b[0] * b[2], b[0] * b[1], b[0] * b[1]])
+        face = rng.choice(6, m, p=areas / areas.sum())
+        p = rng.uniform(-1, 1, (m, 3)) * b
+        axis = face // 2
+        sign = np.where(face % 2 == 0, 1.0, -1.0)
+        p[np.arange(m), axis] = sign * b[axis]
+        return np.asarray(c) + p
+
+    # mirror of _build_renderer's object list / albedos (numpy)
+    def alb_torus(p):
+        ang = np.arctan2(p[:, 2], p[:, 0])
+        s = 0.5 + 0.5 * np.sin(6.0 * ang)
+        return np.stack([0.85 * s + 0.1, 0.25 + 0.2 * s,
+                         0.2 * np.ones_like(s)], axis=1)
+
+    def alb_sphere(p):
+        ch = ((np.floor(p[:, 0] * 6) + np.floor(p[:, 1] * 6)
+               + np.floor(p[:, 2] * 6)) % 2)
+        return np.stack([0.15 + 0.1 * ch, 0.35 + 0.45 * ch,
+                         0.8 - 0.3 * ch], axis=1)
+
+    def alb_box(p):
+        g = 0.5 + 0.5 * np.sin(10.0 * p[:, 1])
+        return np.stack([0.9 * np.ones_like(g), 0.75 * g + 0.15,
+                         0.15 + 0.2 * g], axis=1)
+
+    parts = [
+        (torus([0.0, -0.15, 0.0], 0.75, 0.22, n * 4 // 10), alb_torus),
+        (sphere([0.45, 0.38, -0.25], 0.34, n * 2 // 10), alb_sphere),
+        (box([-0.55, 0.25, 0.35], [0.22, 0.3, 0.2], n * 2 // 10), alb_box),
+        (sphere([-0.2, -0.1, -0.65], 0.18, n // 20),
+         lambda p: np.tile([0.9, 0.9, 0.25], (len(p), 1))),
+        (sphere([0.75, -0.35, 0.55], 0.15, n // 20),
+         lambda p: np.tile([0.35, 0.9, 0.5], (len(p), 1))),
+        (torus([0.05, 0.75, 0.3], 0.3, 0.09, n // 10),
+         lambda p: np.tile([0.55, 0.35, 0.95], (len(p), 1))),
+    ]
+    pts = np.concatenate([p for p, _ in parts]).astype(np.float32)
+    cols = np.concatenate([a(p) for p, a in parts]).astype(np.float32)
+    cols = np.clip(cols * 0.65, 0.0, 1.0)  # typical shading factor
+    return pts, cols
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default="data/sdf_scene")
+    ap.add_argument("--n-train", type=int, default=64)
+    ap.add_argument("--n-test", type=int, default=8)
+    ap.add_argument("--size", type=int, default=800)
+    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--radius", type=float, default=3.6)
+    ap.add_argument("--points-only", action="store_true",
+                    help="only (re)write points3d.ply, no rendering")
+    args = ap.parse_args(argv)
+
+    if args.points_only:
+        from mini3dgs_tpu.utils.io import save_ply
+        out = Path(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        pts, cols = sample_surface_points()
+        save_ply(pts, cols, str(out / "points3d.ply"))
+        print(f"wrote {len(pts)} surface points to {out/'points3d.ply'}")
+        return 0
+
+    from PIL import Image
+
+    out = Path(args.out)
+    (out / "train").mkdir(parents=True, exist_ok=True)
+    (out / "test").mkdir(parents=True, exist_ok=True)
+
+    render = _build_renderer(args.size, args.spp)
+    rng = np.random.default_rng(0)
+
+    def make_split(name, n, stratified):
+        frames = []
+        for i in range(n):
+            if stratified:  # deterministic spiral over the upper hemisphere
+                theta = 2 * math.pi * (i * 0.618034 % 1.0)
+                phi = math.radians(10 + 60 * ((i * 0.381966) % 1.0))
+            else:
+                theta = float(rng.uniform(0, 2 * math.pi))
+                phi = float(rng.uniform(math.radians(15), math.radians(65)))
+            R, T = camera_pose(theta, phi, args.radius)
+            img = np.asarray(render(R, T))
+            rgba = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            fname = f"{name}/r_{i}"
+            Image.fromarray(rgba).save(out / f"{fname}.png")
+            frames.append({"file_path": f"./{fname}",
+                           "rotation": 0.0,
+                           "transform_matrix": to_blender_c2w(R, T).tolist()})
+            print(f"  {fname}: alpha={img[..., 3].mean():.3f}", flush=True)
+        meta = {"camera_angle_x": FOVX, "frames": frames}
+        with open(out / f"transforms_{name}.json", "w") as f:
+            json.dump(meta, f, indent=1)
+
+    print(f"rendering {args.n_train} train views at {args.size}^2 ...",
+          flush=True)
+    make_split("train", args.n_train, stratified=True)
+    print(f"rendering {args.n_test} test views ...", flush=True)
+    make_split("test", args.n_test, stratified=False)
+    print(f"scene written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,6 +55,18 @@ def load_checkpoint(output_path: str, iteration: int, template: Any) -> Any:
         return ckptr.restore(path, abstract)
 
 
+def checkpoint_capacity(output_path: str, iteration: int) -> Optional[int]:
+    """Gaussian slot-pool capacity recorded in a checkpoint (leading dim of
+    gaussians.xyz), read from orbax metadata without loading any data."""
+    import orbax.checkpoint as ocp
+    path = _ckpt_dir(output_path, iteration)
+    if not path.exists():
+        return None
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(path)
+    return int(meta.item_metadata.tree["gaussians"]["xyz"].shape[0])
+
+
 def latest_checkpoint_iteration(output_path: str) -> Optional[int]:
     root = Path(output_path) / "checkpoints"
     if not root.exists():

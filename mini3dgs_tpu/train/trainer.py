@@ -431,7 +431,17 @@ class GaussianTrainer:
         save_checkpoint(self.config.output_path, iteration, self.state)
 
     def load_checkpoint(self, iteration: int) -> None:
-        from .checkpoint import load_checkpoint
+        from .checkpoint import checkpoint_capacity, load_checkpoint
+        # capacity may have grown during the checkpointed run
+        # (occupancy-triggered grow_capacity); match the template first
+        saved_cap = checkpoint_capacity(self.config.output_path, iteration)
+        if saved_cap is not None and saved_cap != self.state.gaussians.capacity:
+            if saved_cap < self.state.gaussians.capacity:
+                raise ValueError(
+                    f"checkpoint capacity {saved_cap} is smaller than the "
+                    f"configured capacity {self.state.gaussians.capacity}")
+            self.state = grow_capacity(self.state, saved_cap)
+            self._train_steps = {}
         self.state = load_checkpoint(self.config.output_path, iteration,
                                      self.state)
         self.iteration = int(self.state.step)

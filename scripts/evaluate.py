@@ -15,6 +15,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="training YAML (render/"
+                   "color settings must match the checkpoint)")
     p.add_argument("--data", required=True)
     p.add_argument("--output", default="output")
     p.add_argument("--checkpoint", type=int, default=None,
@@ -32,7 +34,13 @@ def main(argv=None):
     from mini3dgs_tpu.utils.io import save_image
     from mini3dgs_tpu.utils.metrics import psnr as psnr_fn
 
-    config = TrainingConfig(data_path=args.data, output_path=args.output)
+    if args.config:
+        from mini3dgs_tpu.config import ConfigManager
+        config = ConfigManager.load_from_yaml(args.config)
+        config = dataclasses.replace(config, data_path=args.data,
+                                     output_path=args.output)
+    else:
+        config = TrainingConfig(data_path=args.data, output_path=args.output)
     trainer = GaussianTrainer(config)
     trainer.setup()
     it = args.checkpoint or latest_checkpoint_iteration(args.output)

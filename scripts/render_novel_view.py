@@ -15,6 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="training YAML")
     p.add_argument("--data", default=None)
     p.add_argument("--output", default="output")
     p.add_argument("--checkpoint", type=int, default=None)
@@ -30,8 +31,16 @@ def main(argv=None):
     from mini3dgs_tpu.train.trainer import GaussianTrainer
     from mini3dgs_tpu.utils.vis import create_video_from_cameras, turntable_cameras
 
-    config = TrainingConfig(data_path=args.data or "data/scene",
-                            output_path=args.output)
+    if args.config:
+        import dataclasses
+        from mini3dgs_tpu.config import ConfigManager
+        config = ConfigManager.load_from_yaml(args.config)
+        config = dataclasses.replace(
+            config, output_path=args.output,
+            **({"data_path": args.data} if args.data else {}))
+    else:
+        config = TrainingConfig(data_path=args.data or "data/scene",
+                                output_path=args.output)
     trainer = GaussianTrainer(config)
     trainer.setup()
     it = args.checkpoint or latest_checkpoint_iteration(args.output)
@@ -40,9 +49,13 @@ def main(argv=None):
 
     cams = turntable_cameras(args.n_frames, radius=args.radius,
                              width=args.size, image_height=args.size)
-    settings = RenderSettings(image_height=args.size, image_width=args.size,
-                              use_pallas=trainer.settings.use_pallas
-                              if trainer.settings else False)
+    if trainer.settings is not None:
+        # keep color/kernel settings consistent with the checkpoint
+        settings = trainer.settings.replace(image_height=args.size,
+                                            image_width=args.size)
+    else:
+        settings = RenderSettings(image_height=args.size,
+                                  image_width=args.size)
 
     def render_fn(cam):
         return render(trainer.state.gaussians, cam, settings)["image"]

@@ -344,3 +344,33 @@ def test_checkpoint_roundtrip_exposure(tmp_path):
     mu0 = np.asarray(state.exp_opt_state[0].mu)
     mu1 = np.asarray(restored.exp_opt_state[0].mu)
     np.testing.assert_array_equal(mu1, mu0)
+
+
+def test_checkpoint_capacity_metadata_and_grown_resume(tmp_path):
+    """A checkpoint saved after capacity growth restores into a trainer
+    configured with the original (smaller) capacity (trainer grows its
+    template from checkpoint metadata before loading)."""
+    from mini3dgs_tpu.train.checkpoint import (checkpoint_capacity,
+                                               save_checkpoint)
+    from mini3dgs_tpu.train.trainer import grow_capacity
+    cfg = small_config()
+    g, cam = make_scene(capacity=128, n=64)
+    state = create_train_state(g, cfg)
+    state = grow_capacity(state, 256)
+    save_checkpoint(str(tmp_path / "run"), 4, state)
+    assert checkpoint_capacity(str(tmp_path / "run"), 4) == 256
+    assert checkpoint_capacity(str(tmp_path / "run"), 99) is None
+
+    from mini3dgs_tpu.data.dataset import RandomDataset
+    from mini3dgs_tpu.train.trainer import GaussianTrainer
+    cfg2 = small_config(capacity=128, output_path=str(tmp_path / "run"))
+    ds = RandomDataset(n_cameras=2, width=32, height=32)
+    ds.load_cameras()
+    settings = RenderSettings(image_height=32, image_width=32)
+    tr = GaussianTrainer(cfg2, settings)
+    g2, _ = make_scene(capacity=128, n=64)
+    tr.setup(dataset=ds, gaussians=g2)
+    tr.load_checkpoint(4)
+    assert tr.state.gaussians.capacity == 256
+    np.testing.assert_array_equal(np.asarray(tr.state.gaussians.xyz),
+                                  np.asarray(state.gaussians.xyz))

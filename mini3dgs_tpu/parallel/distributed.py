@@ -22,13 +22,22 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+_initialized = False
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
     """Idempotent jax.distributed.initialize with env fallbacks
-    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID or TPU metadata)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID or TPU metadata).
+
+    NOTE: must run before ANY backend query — even jax.process_count()
+    initializes the runtime and pins single-process mode (a guard built on
+    it silently broke multi-process init; tests/test_multiprocess.py pins
+    the fixed behavior)."""
+    global _initialized
+    if _initialized:
+        return
     kwargs = {}
     addr = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if addr:
@@ -40,11 +49,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = int(process_id
                                    if process_id is not None
                                    else os.environ["PROCESS_ID"])
+    explicit = bool(kwargs)
     try:
         jax.distributed.initialize(**kwargs)
+        _initialized = True
     except Exception:
-        # single-process environments (tests, one host) proceed unwired
-        pass
+        if explicit:
+            # caller asked for a specific topology: failing silently would
+            # train a wrong (single-process) program
+            raise
+        # bare single-process environments (tests, one host) proceed unwired
 
 
 def make_global_mesh(data: Optional[int] = None,

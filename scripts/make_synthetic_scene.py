@@ -119,60 +119,53 @@ def _build_renderer(size: int, spp: int = 2):
     AMBIENT = 0.22
 
     def render(R, T):
-        """R [3,3] C2W (+z forward), T [3] center -> [H,W,4] float RGBA."""
-        # spp x spp subpixel supersampling
+        """R [3,3] C2W (+z forward), T [3] center -> [H,W,4] float RGBA.
+        All spp^2 subsample rays march in ONE batched scan (leading axis S)
+        — keeps the compile graph small for the remote-compile tunnel."""
         sub = (jnp.arange(spp) + 0.5) / spp - 0.5
+        dxy = jnp.stack(jnp.meshgrid(sub, sub), axis=-1).reshape(-1, 2)  # [S,2]
         jj, ii = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
                               jnp.arange(H, dtype=jnp.float32))
+        x = (jj[None] + dxy[:, 0, None, None] - cx) / fx          # [S,H,W]
+        y = -(ii[None] + dxy[:, 1, None, None] - cy) / fy
+        d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)      # [S,H,W,3]
+        d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+        d = d_cam @ R.T
+        o = jnp.broadcast_to(T, d.shape)
 
-        def render_sub(dx, dy):
-            x = (jj + dx - cx) / fx
-            y = -(ii + dy - cy) / fy
-            d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-            d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
-            d = d_cam @ R.T                               # world directions
-            o = jnp.broadcast_to(T, d.shape)
-
-            def march(carry, _):
-                t, _hit = carry
-                p = o + t[..., None] * d
-                dist, _ = scene_sdf(p)
-                t = t + jnp.maximum(dist, 0.0) * 0.9
-                return (t, dist < 1e-3), None
-
-            t0 = jnp.full(d.shape[:-1], 0.05, jnp.float32)
-            (t, hit), _ = jax.lax.scan(march, (t0, t0 < 0), None, length=192)
-            hit = hit & (t < 12.0)
+        def march(carry, _):
+            t, _hit = carry
             p = o + t[..., None] * d
-            _, oid = scene_sdf(p)
-            # normal by central differences
-            eps = 1e-3
-            def sd0(q):
-                return scene_sdf(q)[0]
-            n = jnp.stack([
-                sd0(p + jnp.array([eps, 0, 0])) - sd0(p - jnp.array([eps, 0, 0])),
-                sd0(p + jnp.array([0, eps, 0])) - sd0(p - jnp.array([0, eps, 0])),
-                sd0(p + jnp.array([0, 0, eps])) - sd0(p - jnp.array([0, 0, eps])),
-            ], axis=-1)
-            n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
-            alb = scene_albedo(p, oid)
-            shade = AMBIENT
-            for ldir, lint in lights:
-                ldir = ldir / jnp.linalg.norm(ldir)
-                shade = shade + lint * jnp.maximum((n * ldir).sum(-1), 0.0)
-            rgb = jnp.clip(alb * shade[..., None], 0.0, 1.0)
-            a = hit.astype(jnp.float32)
-            return rgb * a[..., None], a
+            dist, _ = scene_sdf(p)
+            t = t + jnp.maximum(dist, 0.0) * 0.9
+            return (t, dist < 1e-3), None
 
-        rgb_acc = jnp.zeros((H, W, 3), jnp.float32)
-        a_acc = jnp.zeros((H, W), jnp.float32)
-        for dy in sub:
-            for dx in sub:
-                rgb, a = render_sub(dx, dy)
-                rgb_acc = rgb_acc + rgb
-                a_acc = a_acc + a
-        rgb_acc = rgb_acc / (spp * spp)
-        a_acc = a_acc / (spp * spp)
+        t0 = jnp.full(d.shape[:-1], 0.05, jnp.float32)
+        (t, hit), _ = jax.lax.scan(march, (t0, t0 < 0), None, length=128)
+        hit = hit & (t < 12.0)
+        p = o + t[..., None] * d
+        _, oid = scene_sdf(p)
+        # normal by central differences
+        eps = 1e-3
+
+        def sd0(q):
+            return scene_sdf(q)[0]
+
+        n = jnp.stack([
+            sd0(p + jnp.array([eps, 0, 0])) - sd0(p - jnp.array([eps, 0, 0])),
+            sd0(p + jnp.array([0, eps, 0])) - sd0(p - jnp.array([0, eps, 0])),
+            sd0(p + jnp.array([0, 0, eps])) - sd0(p - jnp.array([0, 0, eps])),
+        ], axis=-1)
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+        alb = scene_albedo(p, oid)
+        shade = AMBIENT
+        for ldir, lint in lights:
+            ldir = ldir / jnp.linalg.norm(ldir)
+            shade = shade + lint * jnp.maximum((n * ldir).sum(-1), 0.0)
+        rgb = jnp.clip(alb * shade[..., None], 0.0, 1.0)
+        a = hit.astype(jnp.float32)
+        rgb_acc = (rgb * a[..., None]).mean(axis=0)               # [H,W,3]
+        a_acc = a.mean(axis=0)
         # store premultiplied-unpremultiplied: PNG expects straight alpha
         straight = jnp.where(a_acc[..., None] > 1e-6,
                              rgb_acc / jnp.maximum(a_acc[..., None], 1e-6),

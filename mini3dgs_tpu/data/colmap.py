@@ -12,6 +12,7 @@ those are exactly the (R, T) our Camera.create(from_c2w) expects.
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass
 from pathlib import Path
@@ -51,8 +52,8 @@ class ColmapCamera:
 
     def distortion(self) -> np.ndarray:
         """(k1, k2, p1, p2) radial/tangential coefficients; zeros where the
-        model has none.  Fisheye models are not supported here (undistort
-        with COLMAP's image_undistorter first)."""
+        model has none.  Fisheye/FOV models distort through a different
+        formula — use `distort_normalized`, which handles every model."""
         p = self.params
         if self.model in ("SIMPLE_PINHOLE", "PINHOLE"):
             return np.zeros(4)
@@ -62,27 +63,78 @@ class ColmapCamera:
             return np.array([p[3], p[4], 0.0, 0.0])
         if self.model == "OPENCV":
             return np.array([p[4], p[5], p[6], p[7]])
-        raise ValueError(f"unsupported distortion model {self.model!r}; "
-                         "run COLMAP image_undistorter for fisheye inputs")
+        raise ValueError(f"{self.model!r} does not reduce to (k1,k2,p1,p2)")
 
     @property
     def has_distortion(self) -> bool:
-        try:
-            return bool(np.any(self.distortion() != 0.0))
-        except ValueError:
-            return True
+        if self.model in ("SIMPLE_PINHOLE", "PINHOLE"):
+            return False
+        if self.model in ("SIMPLE_RADIAL", "RADIAL", "OPENCV",
+                          "FULL_OPENCV"):
+            return bool(np.any(self.distortion_params() != 0.0))
+        return True  # fisheye/FOV always remap (theta/atan warp even at k=0)
+
+    def distortion_params(self) -> np.ndarray:
+        """The model's distortion coefficients (whatever follows the
+        focal/principal-point block in COLMAP's parameter layout)."""
+        skip = 3 if self.model.startswith("SIMPLE_") or self.model in (
+            "RADIAL", "RADIAL_FISHEYE", "FOV") else 4
+        return np.asarray(self.params[skip:], np.float64)
 
 
 def distort_normalized(cam: ColmapCamera, xy: np.ndarray) -> np.ndarray:
-    """Apply the camera's distortion to NORMALIZED image coords [N,2]
-    (COLMAP convention: radial k1,k2 then tangential p1,p2)."""
-    k1, k2, p1, p2 = cam.distortion()
-    x, y = xy[:, 0], xy[:, 1]
+    """Apply the camera's distortion to NORMALIZED image coords [N,2].
+
+    Implements the full COLMAP model family (camera_models.h semantics):
+    polynomial radial (+tangential) for the pinhole-family models, the
+    rational FULL_OPENCV model, equidistant fisheye (OPENCV_FISHEYE and the
+    SIMPLE_RADIAL/RADIAL fisheye variants), and the FOV model."""
+    x, y = xy[:, 0].astype(np.float64), xy[:, 1].astype(np.float64)
     r2 = x * x + y * y
-    radial = 1.0 + k1 * r2 + k2 * r2 * r2
-    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
-    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
-    return np.stack([xd, yd], axis=-1)
+    model = cam.model
+    d = cam.distortion_params()
+
+    if model in ("SIMPLE_PINHOLE", "PINHOLE"):
+        return xy.astype(np.float64)
+
+    if model in ("SIMPLE_RADIAL", "RADIAL", "OPENCV"):
+        k1, k2, p1, p2 = cam.distortion()
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        return np.stack([xd, yd], axis=-1)
+
+    if model == "FULL_OPENCV":
+        k1, k2, p1, p2, k3, k4, k5, k6 = d
+        r4, r6 = r2 * r2, r2 * r2 * r2
+        radial = ((1.0 + k1 * r2 + k2 * r4 + k3 * r6)
+                  / (1.0 + k4 * r2 + k5 * r4 + k6 * r6))
+        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        return np.stack([xd, yd], axis=-1)
+
+    if model in ("OPENCV_FISHEYE", "SIMPLE_RADIAL_FISHEYE",
+                 "RADIAL_FISHEYE"):
+        ks = np.zeros(4)
+        ks[:len(d)] = d
+        r = np.sqrt(r2)
+        theta = np.arctan(r)
+        t2 = theta * theta
+        theta_d = theta * (1.0 + ks[0] * t2 + ks[1] * t2 ** 2
+                           + ks[2] * t2 ** 3 + ks[3] * t2 ** 4)
+        scale = np.where(r > 1e-12, theta_d / np.maximum(r, 1e-12), 1.0)
+        return np.stack([x * scale, y * scale], axis=-1)
+
+    if model == "FOV":
+        omega = float(d[0]) if len(d) else 0.0
+        r = np.sqrt(r2)
+        if abs(omega) < 1e-8:
+            return xy.astype(np.float64)
+        rd = np.arctan(2.0 * r * math.tan(omega / 2.0)) / omega
+        scale = np.where(r > 1e-12, rd / np.maximum(r, 1e-12), 1.0)
+        return np.stack([x * scale, y * scale], axis=-1)
+
+    raise ValueError(f"unsupported distortion model {model!r}")
 
 
 def undistort_image(image: np.ndarray, cam: ColmapCamera

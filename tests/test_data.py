@@ -324,3 +324,68 @@ def test_sdf_scene_generator_roundtrip(tmp_path):
     # (x shading); at minimum it must not be background white
     assert not np.all(gt > 0.97), (iy, ix, gt)
     assert gt[2] > 0.25, (iy, ix, gt)  # blue component present either way
+
+
+def test_distortion_model_family():
+    """distort_normalized implements the full COLMAP camera-model family:
+    identity at the principal axis, correct polynomial/rational/fisheye/FOV
+    values at a probe point, and undistort_image resamples consistently."""
+    from mini3dgs_tpu.data.colmap import (ColmapCamera, distort_normalized,
+                                          undistort_image)
+
+    probe = np.array([[0.0, 0.0], [0.2, -0.1]])
+
+    def mk(model, params):
+        return ColmapCamera(1, model, 64, 48, np.asarray(params, np.float64))
+
+    # center is a fixed point for every model
+    for cam in (mk("SIMPLE_RADIAL", [60, 32, 24, 0.1]),
+                mk("RADIAL", [60, 32, 24, 0.1, -0.05]),
+                mk("OPENCV", [60, 60, 32, 24, 0.1, -0.05, 0.01, -0.02]),
+                mk("FULL_OPENCV", [60, 60, 32, 24, 0.1, -0.05, 0.01, -0.02,
+                                   0.001, 0.01, -0.001, 0.0005]),
+                mk("OPENCV_FISHEYE", [60, 60, 32, 24, 0.1, -0.05, 0.01, 0.0]),
+                mk("SIMPLE_RADIAL_FISHEYE", [60, 32, 24, 0.1]),
+                mk("RADIAL_FISHEYE", [60, 32, 24, 0.1, -0.02]),
+                mk("FOV", [60, 32, 24, 0.9])):
+        out = distort_normalized(cam, probe)
+        np.testing.assert_allclose(out[0], [0.0, 0.0], atol=1e-12)
+        assert np.all(np.isfinite(out))
+
+    # polynomial radial: hand-computed
+    cam = mk("SIMPLE_RADIAL", [60, 32, 24, 0.1])
+    x, y = 0.2, -0.1
+    r2 = x * x + y * y
+    out = distort_normalized(cam, probe)[1]
+    np.testing.assert_allclose(out, [x * (1 + 0.1 * r2), y * (1 + 0.1 * r2)],
+                               rtol=1e-12)
+
+    # rational FULL_OPENCV with only k4 set = pure denominator
+    cam = mk("FULL_OPENCV", [60, 60, 32, 24, 0, 0, 0, 0, 0, 0.2, 0, 0])
+    out = distort_normalized(cam, probe)[1]
+    np.testing.assert_allclose(out, [x / (1 + 0.2 * r2), y / (1 + 0.2 * r2)],
+                               rtol=1e-12)
+
+    # fisheye with zero ks = equidistant atan mapping
+    cam = mk("OPENCV_FISHEYE", [60, 60, 32, 24, 0, 0, 0, 0])
+    out = distort_normalized(cam, probe)[1]
+    r = math.sqrt(r2)
+    s = math.atan(r) / r
+    np.testing.assert_allclose(out, [x * s, y * s], rtol=1e-12)
+    assert cam.has_distortion  # atan warp remaps even with k=0
+
+    # FOV model formula
+    cam = mk("FOV", [60, 32, 24, 0.9])
+    out = distort_normalized(cam, probe)[1]
+    rd = math.atan(2 * r * math.tan(0.45)) / 0.9
+    np.testing.assert_allclose(out, [x * rd / r, y * rd / r], rtol=1e-12)
+
+    # undistort_image on a fisheye camera: finite, shape-preserving, and the
+    # center pixel (fixed point) keeps its value
+    img = np.zeros((48, 64), np.float32)
+    img[20:28, 28:36] = 1.0
+    cam = mk("OPENCV_FISHEYE", [60, 60, 32, 24, 0.05, 0.0, 0.0, 0.0])
+    out, pin = undistort_image(img, cam)
+    assert out.shape == img.shape and pin.model == "PINHOLE"
+    assert np.isfinite(out).all()
+    assert out[24, 32] > 0.9

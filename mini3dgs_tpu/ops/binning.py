@@ -273,19 +273,100 @@ def _viewport_spans(proj, H, W, tile_size, per_axis, row0, col0,
     return tx0, ty0, sx, sy, ok, lost
 
 
-def _emit_grid(tx0, ty0, sx, sy, rank, C, tiles_x, per_axis):
-    """Packed candidate keys [N, per_axis**2]: the row-major tile grid from
-    each (tx0, ty0) with validity (ddx < sx) & (ddy < sy); key = tile * C +
-    depth rank, invalid slots INT32_MAX.  Emission is in GAUSSIAN-ID order
-    (the key embeds the rank, so emission order is free — and gid order
-    avoids narrow [C]-row gathers through the depth permutation)."""
+# Reference cutoff in quadratic-form units: w = exp(-0.5 s) >= W_EPS (the
+# skip threshold at raster_ref.W_EPS = 1e-5) iff s <= _SMAX.  A candidate
+# tile whose MINIMUM s over the whole (margin-inflated) tile rect exceeds
+# _SMAX contributes exactly zero to the reference output — every pixel is
+# zeroed by the skip — so culling it is output- and gradient-identical.
+_SMAX = 2.0 * math.log(1.0 / 1e-5)
+# Rect inflation in pixels: absorbs f32 rounding differences between this
+# test and the kernels' per-pixel quadratic form (same style as the
+# projection exact-cull extents' +1 px margin).
+_EXACT_MARGIN = 1.0
+
+
+def _exact_tile_keep(tx, ty, ex, tile_size):
+    """Exact ellipse-vs-tile test (conic metric).  tx/ty: candidate tile
+    indices (viewport-local, broadcastable); ex = (mx, my, qa, qb, qc):
+    viewport-relative pixel means + conic rows, broadcast against tx.
+    Returns bool: True when the tile may contain a pixel with w >= W_EPS.
+
+    min over the rect [x0,x1]x[y0,y1] (coords relative to the mean) of
+    s(p) = qa x^2 + 2 qb x y + qc y^2: zero if the mean lies inside;
+    otherwise the minimum lies on one of the four edges, where the 1-D
+    quadratic minimizes at the clamped stationary point (qa,qc > 0 by the
+    +1e-6 diagonal stabilizer in projection)."""
+    mx, my, qa, qb, qc = ex
+    # stationary-point slopes hoisted to ONE per-Gaussian reciprocal each
+    # (a per-candidate divide costs ~10x a multiply on the VPU)
+    byc = -qb / jnp.maximum(qc, 1e-12)
+    bya = -qb / jnp.maximum(qa, 1e-12)
+    x0 = tx * tile_size - _EXACT_MARGIN - mx
+    x1 = tx * tile_size + (tile_size - 1) + _EXACT_MARGIN - mx
+    y0 = ty * tile_size - _EXACT_MARGIN - my
+    y1 = ty * tile_size + (tile_size - 1) + _EXACT_MARGIN - my
+    inside = (x0 <= 0) & (0 <= x1) & (y0 <= 0) & (0 <= y1)
+
+    def edge_x(ex_):
+        ys = jnp.clip(byc * ex_, y0, y1)
+        return qa * ex_ * ex_ + 2.0 * qb * ex_ * ys + qc * ys * ys
+
+    def edge_y(ey_):
+        xs = jnp.clip(bya * ey_, x0, x1)
+        return qa * xs * xs + 2.0 * qb * ey_ * xs + qc * ey_ * ey_
+
+    smin = jnp.minimum(jnp.minimum(edge_x(x0), edge_x(x1)),
+                       jnp.minimum(edge_y(y0), edge_y(y1)))
+    return inside | (smin <= _SMAX)
+
+
+def _grid_counts(tx0, ty0, sx, sy, ex, per_axis, tile_size,
+                 band_lo=None, band_hi=None):
+    """Exact per-Gaussian emitted-candidate counts: enumerate the clamped
+    [per_axis**2] tile grid and count slots passing the span window AND the
+    exact ellipse test — must match the emission paths' validity bitwise
+    (same formula, same f32 inputs).  Optional [band_lo, band_hi) tile-row
+    window restricts to one image band (the gauss-sharded path).
+
+    LAYOUT: all [dup, N] temporaries keep N on the LANE axis — a [N, 9]
+    f32 array is physically lane-padded to [N, 128] (14x phantom bytes per
+    temporary; measured +3 ms/step at the bench shape), while [9, N] only
+    pads sublanes 9 -> 16."""
     MAX_DUP = per_axis * per_axis
     d = jnp.arange(MAX_DUP, dtype=jnp.int32)
-    ddx = (d % per_axis)[None, :]
-    ddy = (d // per_axis)[None, :]
-    tile = (ty0[:, None] + ddy) * tiles_x + tx0[:, None] + ddx
-    valid = (ddx < sx[:, None]) & (ddy < sy[:, None])
-    return jnp.where(valid, tile * C + rank[:, None], _INT32_MAX)
+    ddx = (d % per_axis)[:, None]
+    ddy = (d // per_axis)[:, None]
+    valid = (ddx < sx[None, :]) & (ddy < sy[None, :])
+    tx = tx0[None, :] + ddx
+    ty = ty0[None, :] + ddy
+    if band_lo is not None:
+        valid &= (ty >= band_lo) & (ty < band_hi)
+    exb = tuple(e[None, :] for e in ex)
+    valid &= _exact_tile_keep(tx, ty, exb, tile_size)
+    return jnp.sum(valid, axis=0).astype(jnp.int32)
+
+
+def _emit_grid(tx0, ty0, sx, sy, rank, C, tiles_x, per_axis,
+               ex=None, tile_size=None):
+    """Packed candidate keys [per_axis**2, N] (dup-major; lane-dense over
+    N — see _grid_counts layout note): the row-major tile grid from each
+    (tx0, ty0) with validity (ddx < sx) & (ddy < sy); key = tile * C +
+    depth rank, invalid slots INT32_MAX.  Emission order is free (the key
+    embeds the rank), so callers flatten in any order.  With `ex`
+    (viewport-relative means + conic rows), candidates additionally pass
+    the exact ellipse-vs-tile test (_exact_tile_keep)."""
+    MAX_DUP = per_axis * per_axis
+    d = jnp.arange(MAX_DUP, dtype=jnp.int32)
+    ddx = (d % per_axis)[:, None]
+    ddy = (d // per_axis)[:, None]
+    tx = tx0[None, :] + ddx
+    ty = ty0[None, :] + ddy
+    tile = ty * tiles_x + tx
+    valid = (ddx < sx[None, :]) & (ddy < sy[None, :])
+    if ex is not None:
+        valid &= _exact_tile_keep(tx, ty, tuple(e[None, :] for e in ex),
+                                  tile_size)
+    return jnp.where(valid, tile * C + rank[None, :], _INT32_MAX)
 
 
 # Span bound of the "small" class in the two-level candidate emission.
@@ -293,23 +374,30 @@ _SMALL_SPAN = 2
 
 
 def _emit_two_level(tx0, ty0, sx, sy, ok, rank, C_key, tiles_x, per_axis,
-                    C_L):
+                    C_L, ex=None, tile_size=None, counts=None):
     """Two-level candidate emission (see bin_gaussians docstring): gaussians
     spanning <= _SMALL_SPAN per axis emit a [N,4] grid; the rest are
     compacted by one [N] sort into C_L slots emitting the full per_axis**2
     grid.  `C_key` is the key modulus (the GLOBAL capacity — ranks are
-    global even when emitting a gid shard).  Returns (cand_flat [N*4 +
-    C_L*per_axis**2], drop_large: instances of large gaussians beyond the
-    C_L compaction capacity)."""
+    global even when emitting a gid shard).  `ex`/`counts`: exact-cull
+    attributes and the matching per-Gaussian emitted counts (defaults to
+    the span product).  Returns (cand_flat [N*4 + C_L*per_axis**2],
+    drop_large: instances of large gaussians beyond the C_L compaction
+    capacity)."""
     N = tx0.shape[0]
     small = ok & (sx <= _SMALL_SPAN) & (sy <= _SMALL_SPAN)
     large = ok & ~small
+    if counts is None:
+        counts = sx * sy
     k_small = _emit_grid(tx0, ty0,
                          jnp.where(small, sx, 0),
                          jnp.where(small, sy, 0),
-                         rank, C_key, tiles_x, _SMALL_SPAN)
+                         rank, C_key, tiles_x, _SMALL_SPAN,
+                         ex=ex, tile_size=tile_size)
     # Compact the large gaussians to C_L slots with one [N] sort; their
-    # per-gaussian data rides as two packed payload words.
+    # per-gaussian data rides as two packed payload words (exact-cull
+    # attrs are re-read by lane gather on the compacted gid instead of
+    # riding as 5 more payload operands).
     iota = jnp.arange(N, dtype=jnp.int32)
     lkey = jnp.where(large, iota, _INT32_MAX)
     pos = tx0 + ty0 * 8192
@@ -319,10 +407,15 @@ def _emit_two_level(tx0, ty0, sx, sy, ok, rank, C_key, tiles_x, per_axis,
     lvalid = skey[:C_L] != _INT32_MAX
     lsx = jnp.where(lvalid, lspn[:C_L] % 32, 0)
     lsy = jnp.where(lvalid, lspn[:C_L] // 32, 0)
+    ex_l = None
+    if ex is not None:
+        gid = jnp.clip(skey[:C_L], 0, N - 1)
+        ex_l = tuple(jnp.take(e, gid) for e in ex)
     k_large = _emit_grid(lpos[:C_L] % 8192, lpos[:C_L] // 8192,
-                         lsx, lsy, lrank[:C_L], C_key, tiles_x, per_axis)
-    drop_large = (jnp.sum(jnp.where(large, sx * sy, 0))
-                  - jnp.sum(lsx * lsy))
+                         lsx, lsy, lrank[:C_L], C_key, tiles_x, per_axis,
+                         ex=ex_l, tile_size=tile_size)
+    emitted_large = jnp.sum((k_large != _INT32_MAX).astype(jnp.int32))
+    drop_large = jnp.sum(jnp.where(large, counts, 0)) - emitted_large
     cand_flat = jnp.concatenate([k_small.reshape(-1), k_large.reshape(-1)])
     return cand_flat, drop_large
 
@@ -349,14 +442,15 @@ def _emission_plan(C, per_axis, tiles_x, num_tiles, large_capacity):
 @partial(jax.jit, static_argnames=("H", "W", "tile_size", "max_instances",
                                    "chunk", "radius_max", "full_height",
                                    "full_width", "max_dup_per_axis",
-                                   "large_capacity"))
+                                   "large_capacity", "exact_cull"))
 def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
                   max_instances: int, chunk: int,
                   radius_max: float = 50.0,
                   row0=0, col0=0,
                   full_height: int = None, full_width: int = None,
                   max_dup_per_axis: int = 0,
-                  large_capacity: int = 0) -> Binning:
+                  large_capacity: int = 0,
+                  exact_cull: bool = True) -> Binning:
     """Bin into the [H, W] viewport whose top-left pixel sits at (row0, col0)
     of a full_height x full_width image.  row0/col0 may be traced
     (lax.axis_index) values but must be tile_size multiples.
@@ -369,7 +463,16 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     the full [C_L, per_axis**2] grid — at the bench shape this shrinks the
     sorted key count ~5x versus the single [C, per_axis**2] grid.  Both
     grids produce the same packed (tile*C + rank) keys, and the final sort
-    output is a multiset — identical to single-grid emission."""
+    output is a multiset — identical to single-grid emission.
+
+    EXACT CULL (`exact_cull=True`): candidate tiles whose minimum conic
+    quadratic form over the (margin-inflated) tile rect exceeds the
+    reference's own skip cutoff (w < W_EPS) are not emitted — output- and
+    gradient-identical (the reference zeroes those pixels exactly), but
+    anisotropic/rotated splats stop emitting corner tiles their AABB
+    covers and their ellipse misses.  For isotropic splats whose AABB
+    comes from the 3-sigma radius the test never fires (corner s <= 18 <
+    _SMAX ~ 23), so it is a no-op on such scenes by construction."""
     C = proj.means2d.shape[0]
     tiles_x = -(-W // tile_size)
     tiles_y = -(-H // tile_size)
@@ -387,7 +490,17 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     tx0, ty0, sx, sy, ok, lost = _viewport_spans(
         proj, H, W, tile_size, per_axis, row0, col0,
         full_height, full_width)
-    counts_gid = sx * sy
+    ex = None
+    if exact_cull:
+        # viewport-relative pixel means: local_tile*ts - (mx - col0) is the
+        # global rect offset from the global mean, so the keep test matches
+        # the kernels' global pixel coordinates exactly.
+        ex = (proj.means2d[:, 0] - jnp.float32(col0),
+              proj.means2d[:, 1] - jnp.float32(row0),
+              proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2])
+        counts_gid = _grid_counts(tx0, ty0, sx, sy, ex, per_axis, tile_size)
+    else:
+        counts_gid = sx * sy
     order, inv_order, rank_counts, seg_start_gid = _segment_layout(
         proj, counts_gid)
     rank = inv_order                       # depth rank of each gaussian id
@@ -399,10 +512,12 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     drop_large = jnp.int32(0)
     if two_level:
         cand_flat, drop_large = _emit_two_level(
-            tx0, ty0, sx, sy, ok, rank, C, tiles_x, per_axis, C_L)
+            tx0, ty0, sx, sy, ok, rank, C, tiles_x, per_axis, C_L,
+            ex=ex, tile_size=tile_size, counts=counts_gid)
     elif packed_key:
         cand_flat = _emit_grid(tx0, ty0, sx, sy, rank, C, tiles_x,
-                               per_axis).reshape(-1)
+                               per_axis, ex=ex,
+                               tile_size=tile_size).reshape(-1)
 
     # The stream length is min(capacity, #candidates) rounded up to a whole
     # number of kernel chunks (the raster op views it as [K//G, 16, G]).
@@ -415,14 +530,19 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
         s_tile = jnp.where(invalid, num_tiles, s_key // C)
         s_rank = s_key % C
     else:
-        # lexicographic (tile, rank) two-operand sort
+        # lexicographic (tile, rank) two-operand sort (lane-dense [dup, C]
+        # layout — see _grid_counts)
         d = jnp.arange(MAX_DUP, dtype=jnp.int32)
-        ddx = (d % per_axis)[None, :]
-        ddy = (d // per_axis)[None, :]
-        cand_valid = (ddx < sx[:, None]) & (ddy < sy[:, None])
-        cand_tile = (ty0[:, None] + ddy) * tiles_x + tx0[:, None] + ddx
+        ddx = (d % per_axis)[:, None]
+        ddy = (d // per_axis)[:, None]
+        cand_valid = (ddx < sx[None, :]) & (ddy < sy[None, :])
+        if ex is not None:
+            cand_valid &= _exact_tile_keep(
+                tx0[None, :] + ddx, ty0[None, :] + ddy,
+                tuple(e[None, :] for e in ex), tile_size)
+        cand_tile = (ty0[None, :] + ddy) * tiles_x + tx0[None, :] + ddx
         cand_t = jnp.where(cand_valid, cand_tile, _INT32_MAX)
-        cand_r = jnp.broadcast_to(rank[:, None], (C, MAX_DUP))
+        cand_r = jnp.broadcast_to(rank[None, :], (MAX_DUP, C))
         s_tile, s_rank = jax.lax.sort(
             (cand_t.reshape(-1), cand_r.reshape(-1)), num_keys=2)
         s_tile = _pad_to(s_tile, K)
@@ -441,7 +561,8 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
                           full_height: int = None, full_width: int = None,
                           max_dup_per_axis: int = 0,
                           large_capacity: int = 0,
-                          route_capacity: int = None) -> Binning:
+                          route_capacity: int = None,
+                          exact_cull: bool = True) -> Binning:
     """Gauss-sharded binning: the distributed (tile‖rank)-key sort over the
     mesh (SURVEY §2.5's sharded-sort obligation).  Must be called inside
     shard_map with `axis_name` of size `n_shards`; device i owns image band
@@ -487,9 +608,17 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
     # this device's stream only holds instances of its own image band,
     # i.e. tile rows [i*band_ty, (i+1)*band_ty) of each gaussian's grid
     band_ty = H // tile_size
-    oy = (jnp.minimum(ty0 + sy, (i + 1) * band_ty)
-          - jnp.maximum(ty0, i * band_ty))
-    counts_gid = sx * jnp.clip(oy, 0, None)
+    ex = None
+    if exact_cull:
+        ex = (proj.means2d[:, 0], proj.means2d[:, 1],
+              proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2])
+        counts_gid = _grid_counts(tx0, ty0, sx, sy, ex, per_axis, tile_size,
+                                  band_lo=i * band_ty,
+                                  band_hi=(i + 1) * band_ty)
+    else:
+        oy = (jnp.minimum(ty0 + sy, (i + 1) * band_ty)
+              - jnp.maximum(ty0, i * band_ty))
+        counts_gid = sx * jnp.clip(oy, 0, None)
     order, inv_order, rank_counts, seg_start_gid = _segment_layout(
         proj, counts_gid)
     rank = inv_order
@@ -499,14 +628,23 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
     two_level_l, C_L_l, _ = _emission_plan(Cs, per_axis, gtx, total_tiles,
                                            large_capacity)
     sl = lambda a: jax.lax.dynamic_slice(a, (i * Cs,), (Cs,))
+    ex_sl = None if ex is None else tuple(sl(e) for e in ex)
     if two_level_l:
+        # drop accounting needs the shard's FULL-image exact counts (the
+        # band-restricted counts_gid only covers this device's band).
+        counts_sl = None
+        if ex is not None:
+            counts_sl = _grid_counts(sl(tx0), sl(ty0), sl(sx), sl(sy),
+                                     ex_sl, per_axis, tile_size)
         cand_flat, drop_large = _emit_two_level(
             sl(tx0), sl(ty0), sl(sx), sl(sy), sl(ok), sl(rank), C,
-            gtx, per_axis, C_L_l)
+            gtx, per_axis, C_L_l, ex=ex_sl, tile_size=tile_size,
+            counts=counts_sl)
         drop_large = jax.lax.psum(drop_large, axis_name)
     else:
         cand_flat = _emit_grid(sl(tx0), sl(ty0), sl(sx), sl(sy), sl(rank),
-                               C, gtx, per_axis).reshape(-1)
+                               C, gtx, per_axis, ex=ex_sl,
+                               tile_size=tile_size).reshape(-1)
         drop_large = jnp.int32(0)
     s_local = jax.lax.sort(cand_flat)
 

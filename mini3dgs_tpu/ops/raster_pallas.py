@@ -625,6 +625,7 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                     radius_max: float = 50.0, max_dup_per_axis: int = 0,
                     large_capacity: int = 0,
                     shard_axis: str = None, n_shards: int = 1,
+                    exact_cull: bool = True,
                     interpret=None) -> dict:
     """Full Pallas raster path: binning -> fused tile kernel -> epilogue.
     Differentiable w.r.t. `proj` fields (instance packing is an XLA gather,
@@ -654,13 +655,15 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                                     radius_max=radius_max,
                                     full_height=fh, full_width=fw,
                                     max_dup_per_axis=max_dup_per_axis,
-                                    large_capacity=large_capacity)
+                                    large_capacity=large_capacity,
+                                    exact_cull=exact_cull)
     else:
         b = B.bin_gaussians(proj, H, W, tile_size, max_instances, G,
                             radius_max=radius_max, row0=row0, col0=col0,
                             full_height=full_height, full_width=full_width,
                             max_dup_per_axis=max_dup_per_axis,
-                            large_capacity=large_capacity)
+                            large_capacity=large_capacity,
+                            exact_cull=exact_cull)
     K = b.s_rank.shape[0]
     assert K % G == 0, "binning pads the stream to whole kernel chunks"
     # binning rebases instance coordinates to the band, so the kernel always

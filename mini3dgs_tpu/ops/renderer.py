@@ -54,6 +54,10 @@ class RenderSettings:
     # capacity of the two-level binning's large-gaussian (span > 2x2) slot
     # pool; 0 = C/8.  Overflow drops are counted in binning n_dropped.
     large_capacity: int = struct.field(pytree_node=False, default=0)
+    # Exact ellipse-vs-tile candidate culling at emission: output- and
+    # gradient-identical (prunes only whole tiles below the reference's
+    # w < W_EPS skip cutoff); anisotropic splats emit far fewer instances.
+    exact_tile_cull: bool = struct.field(pytree_node=False, default=True)
     # Tile-sharding offsets: this invocation renders rows [row0, row0+H).
     row0: int = struct.field(pytree_node=False, default=0)
     col0: int = struct.field(pytree_node=False, default=0)
@@ -86,6 +90,7 @@ def render(gaussians: Gaussians, camera: Camera,
                               radius_max=settings.radius_max,
                               max_dup_per_axis=settings.max_dup_per_axis,
                               large_capacity=settings.large_capacity,
+                              exact_cull=settings.exact_tile_cull,
                               row0=settings.row0, col0=settings.col0)
     else:
         out = raster_ref.rasterize_image(

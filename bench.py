@@ -24,7 +24,8 @@ import numpy as np
 
 
 def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
-          use_pallas=True, max_instances=1536 * 256):
+          use_pallas=True, max_instances=1536 * 256,
+          golden_pixel_block=65536, golden_chunk=512):
     from functools import partial
 
     from __graft_entry__ import _scene
@@ -40,6 +41,7 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
     # frame); pack/sort cost is linear in the STATIC stream length.
     settings = RenderSettings(image_height=height, image_width=width,
                               use_pallas=use_pallas,
+                              golden_pixel_block=golden_pixel_block,
                               max_instances=max_instances,
                               # tile 32 / G 256 measured best on v5e with the
                               # compact stream (39.3 vs 41.8 ms at 16/128);
@@ -116,9 +118,11 @@ def main():
         # irrelevant at that magnitude) recorded manually into PERF.md — the
         # default bench keeps the fast 400^2 proxy.
         try:
+            # 16K pixel blocks: the 65K-block dense autodiff working set
+            # crashed the TPU worker (OOM-killed) on the small-HBM chip
             g_chain = build(width=800, height=800, n=100_000,
                             capacity=2 ** 17, use_pallas=False,
-                            max_instances=2 ** 19)
+                            golden_pixel_block=16384)
             float(g_chain(jnp.float32(0.5), 1))  # compile
             t0 = time.perf_counter()
             float(g_chain(jnp.float32(0.25), 1))

@@ -134,7 +134,8 @@ def rasterize_image(means2d, conic, depth, color, opacity, visible,
                     height: int, width: int, bg: jnp.ndarray,
                     radius=None, row0: int = 0, col0: int = 0,
                     chunk: int = 512, tile_size: int = 16,
-                    full_height=None, full_width=None):
+                    full_height=None, full_width=None,
+                    pixel_block: int = 65536):
     """Full-image golden raster. Returns dict(image [3,H,W], alpha [1,H,W],
     depth [1,H,W]).
 
@@ -157,7 +158,6 @@ def rasterize_image(means2d, conic, depth, color, opacity, visible,
     px = xs.reshape(-1)
     py = ys.reshape(-1)
     n_pix = height * width
-    pixel_block = 65536
     if n_pix <= pixel_block:
         rgb, A, D = rasterize_pixels(px, py, means2d, conic, depth, color,
                                      opacity, visible, chunk=chunk,

@@ -54,6 +54,10 @@ class RenderSettings:
     # capacity of the two-level binning's large-gaussian (span > 2x2) slot
     # pool; 0 = C/8.  Overflow drops are counted in binning n_dropped.
     large_capacity: int = struct.field(pytree_node=False, default=0)
+    # Pixel-block width of the golden (XLA oracle) path's lax.map — smaller
+    # blocks bound the dense [pixels, chunk] autodiff working set (the
+    # full-size-golden baseline run needs this on small-HBM chips).
+    golden_pixel_block: int = struct.field(pytree_node=False, default=65536)
     # Exact ellipse-vs-tile candidate culling at emission: output- and
     # gradient-identical (prunes only whole tiles below the reference's
     # w < W_EPS skip cutoff); anisotropic splats emit far fewer instances.
@@ -97,7 +101,8 @@ def render(gaussians: Gaussians, camera: Camera,
             proj.means2d, proj.conic, proj.depth, proj.color, proj.opacity,
             proj.visible, H, W, bg, radius=proj.radius,
             row0=settings.row0, col0=settings.col0,
-            tile_size=settings.tile_size)
+            tile_size=settings.tile_size,
+            pixel_block=settings.golden_pixel_block)
 
     return {
         "image": out["image"],

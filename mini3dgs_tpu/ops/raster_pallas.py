@@ -97,10 +97,12 @@ def _prefix_blocked(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
     carry = None
     for b in range(G // B):
         xb = x[:, b * B:(b + 1) * B]
+        hi = (xb.astype(jnp.bfloat16)).astype(jnp.float32)
+        lo = xb - hi
         dot = functools.partial(jax.lax.dot_general,
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        pre = dot(xb, tri)
+        pre = dot(hi, tri) + dot(lo, tri)
         if carry is not None:
             pre = pre + carry
         outs.append(pre)

@@ -59,6 +59,13 @@ class TrainingConfig:
     opacity_reset_interval: int = 3000  # canonical 3DGS cadence (reference leaves it unwired)
     percent_dense_split: float = 0.03   # split if mean sigma > 0.03 * extent (gaussian_model.py:137)
     percent_dense_clone: float = 0.01   # clone if mean sigma < 0.01 * extent (gaussian_model.py:166)
+    # Gradient space for the densification statistic: "viewspace" accumulates
+    # the canonical-3DGS viewspace (projected-mean) gradient norm scaled to
+    # NDC units (0.5*max(H,W) * pixel grad) — the units densify_grad_threshold
+    # = 2e-4 is calibrated for, and SURVEY §2.2's documented intent.  "world"
+    # is the reference's literal (unwired) semantics, ||grad_xyz||; measured
+    # to over-trigger cloning exponentially on long (30k) schedules.
+    densify_grad_space: str = "viewspace"
 
     # -- rendering (reference config.py:63-64, default.yaml rendering:) --
     image_height: int = 800
@@ -87,6 +94,9 @@ class TrainingConfig:
     mesh_data: int = 1               # camera/data-parallel mesh axis size
     mesh_tile: int = 1               # tile-parallel mesh axis size
     shard_gauss_state: bool = False  # shard model+Adam state over the gauss axis (per-device memory ~C/n)
+    ring_exchange: bool = False      # ring exchange of depth-rank-range segments (parallel/ring.py)
+    ring_capacity: int = 0           # per-(band, range) ring segment rows; 0 = max_instances / n
+    verify_sharding: bool = True     # setup-time sharded-gradient parity self-check under a mesh
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
 
@@ -117,6 +127,7 @@ _NESTED_MAP = {
     ("density_control", "prune_opacity_threshold"): "prune_opacity_threshold",
     ("density_control", "prune_interval"): "prune_interval",
     ("density_control", "opacity_reset_interval"): "opacity_reset_interval",
+    ("density_control", "densify_grad_space"): "densify_grad_space",
     ("rendering", "image_height"): "image_height",
     ("rendering", "image_width"): "image_width",
     ("rendering", "background_color"): "background_color",
@@ -135,6 +146,9 @@ _NESTED_MAP = {
     ("tpu", "mesh_data"): "mesh_data",
     ("tpu", "mesh_tile"): "mesh_tile",
     ("tpu", "shard_gauss_state"): "shard_gauss_state",
+    ("tpu", "ring_exchange"): "ring_exchange",
+    ("tpu", "ring_capacity"): "ring_capacity",
+    ("tpu", "verify_sharding"): "verify_sharding",
     ("tpu", "use_pallas"): "use_pallas",
 }
 

@@ -693,6 +693,151 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
                    seg_start_gid, counts_gid, num_tiles_band, n_dropped)
 
 
+class RingBinning(NamedTuple):
+    """Origin-side binning for the ring-exchange raster (parallel/ring.py).
+
+    The calling device owns depth-rank range [i*C/n, (i+1)*C/n) and emits,
+    sorts, and lays out ONLY that range's instances — for every image band.
+    The stream is the concatenation of n_bands fixed-capacity segments
+    (each `seg_capacity` rows, chunk-aligned, live prefix); segment b holds
+    band b's instances of this rank range in (tile, rank) order, ready to be
+    routed to band owners and composited strictly behind ranges < i."""
+
+    flat_rank: jnp.ndarray     # [n_bands * Q] depth rank per slot (dead: 0)
+    live: jnp.ndarray          # [n_bands * Q] bool
+    rank_perm: jnp.ndarray     # [n_bands * Q] rank-sorted stream permutation
+    rank_key: jnp.ndarray      # [n_bands * Q] sorted keys (dead tail = C)
+    order: jnp.ndarray         # [C] gaussian id at each depth rank
+    seg_start_gid: jnp.ndarray  # [C] rank-sorted segment start per gid
+    counts_gid: jnp.ndarray    # [C] instances emitted per gid (this range)
+    n_live: jnp.ndarray        # scalar: live slots across all segments
+    tile_start: jnp.ndarray    # [n_bands, T_band] segment-local tile starts
+    tile_count: jnp.ndarray    # [n_bands, T_band]
+    n_dropped: jnp.ndarray     # capacity-overflow instances (this origin)
+
+
+def bin_gaussians_ring_origin(proj: Projected, full_h: int, full_w: int,
+                              tile_size: int, seg_capacity: int, chunk: int,
+                              axis_name: str, n_shards: int,
+                              radius_max: float = 50.0,
+                              max_dup_per_axis: int = 0,
+                              large_capacity: int = 0,
+                              exact_cull: bool = True) -> RingBinning:
+    """Ring-exchange origin binning (SURVEY §2.5's ring-attention analog).
+
+    Must run inside shard_map with `axis_name` of size `n_shards`; device i
+    is both image-band owner i AND depth-rank-range owner i.  Unlike
+    `bin_gaussians_sharded` (gid-shard emission + one all_to_all home
+    routing), instances here are partitioned by DEPTH-RANK RANGE, the only
+    partition under which a receiving band can composite exchange-step by
+    exchange-step: front-to-back "over" is associative but not commutative,
+    and rank range r is strictly behind ranges < r everywhere.  Each origin
+    sorts only its range's candidates (keys identical to the replicated
+    path: tile*C + rank over GLOBAL tiles), so the union over origins of
+    segment b is exactly the replicated band stream as a multiset; the ring
+    consumer composites them in ascending-range order with transmittance
+    carried (kernel t0 chaining), reproducing single-pass output up to f32
+    chunk-boundary association.
+
+    `seg_capacity` rows per (band, range) segment (chunk-aligned, static);
+    overflow is counted in n_dropped (drops never rendered => approximate
+    gradients, same caveat as pack_instances under overflow)."""
+    C = proj.means2d.shape[0]
+    assert C % n_shards == 0, "capacity must divide over the ring devices"
+    Cs = C // n_shards
+    gtx = -(-full_w // tile_size)
+    gty = -(-full_h // tile_size)
+    total_tiles = gtx * gty
+    assert gty % n_shards == 0, "tile rows must divide into bands"
+    band_ty = gty // n_shards
+    ntb = band_ty * gtx                       # tiles per band
+    per_axis = _per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                               gtx, gty)
+    assert (total_tiles + 1) * C < 2 ** 31, (
+        "ring binning requires packed (tile*C + rank) int32 keys")
+    G = chunk
+    Q = ((seg_capacity + G - 1) // G) * G
+
+    i = jax.lax.axis_index(axis_name)
+    tx0, ty0, sx, sy, ok, lost = _viewport_spans(
+        proj, full_h, full_w, tile_size, per_axis, 0, 0, full_h, full_w)
+    ex = None
+    if exact_cull:
+        ex = (proj.means2d[:, 0], proj.means2d[:, 1],
+              proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2])
+        counts_all = _grid_counts(tx0, ty0, sx, sy, ex, per_axis, tile_size)
+    else:
+        counts_all = sx * sy
+    # Depth ranks over the FULL set (replicated [C] sorts), then restrict
+    # everything to this device's rank range: the stream must contain
+    # exactly the instances of ranks [i*Cs, (i+1)*Cs).
+    order0, rank_counts0 = _depth_order(proj, counts_all)
+    rank = _inverse_permutation(order0)
+    in_range = (rank >= i * Cs) & (rank < (i + 1) * Cs)
+    counts_gid = jnp.where(in_range, counts_all, 0)
+    order, inv_order, rank_counts, seg_start_gid = _segment_layout(
+        proj, counts_gid)
+    ok = ok & in_range
+    lost = jnp.where(in_range, lost, 0)
+
+    # ---- emission + local sort of this range's candidates ----
+    two_level, C_L, n_cand = _emission_plan(C, per_axis, gtx, total_tiles,
+                                            large_capacity)
+    if two_level:
+        cand_flat, drop_large = _emit_two_level(
+            tx0, ty0, sx, sy, ok, rank, C, gtx, per_axis, C_L,
+            ex=ex, tile_size=tile_size, counts=counts_gid)
+    else:
+        cand_flat = _emit_grid(tx0, ty0, jnp.where(ok, sx, 0),
+                               jnp.where(ok, sy, 0), rank, C, gtx,
+                               per_axis, ex=ex,
+                               tile_size=tile_size).reshape(-1)
+        drop_large = jnp.int32(0)
+    s_local = jax.lax.sort(cand_flat)
+
+    # ---- fixed-capacity per-band segments (contiguous key ranges) ----
+    bkeys = (jnp.arange(n_shards + 1, dtype=jnp.int32) * (ntb * C))
+    bounds = jnp.searchsorted(s_local, bkeys, side="left").astype(jnp.int32)
+    pad = jnp.full((Q,), _INT32_MAX, jnp.int32)
+    s_pad = jnp.concatenate([s_local, pad])
+    segs, drops, starts, counts_t = [], [], [], []
+    tid_hi = jnp.arange(1, ntb + 1, dtype=jnp.int32)
+    for b in range(n_shards):
+        seg = jax.lax.dynamic_slice(s_pad, (bounds[b],), (Q,))
+        idx = bounds[b] + jnp.arange(Q, dtype=jnp.int32)
+        seg = jnp.where(idx < bounds[b + 1], seg, _INT32_MAX)
+        segs.append(seg)
+        drops.append(jnp.maximum(bounds[b + 1] - bounds[b] - Q, 0))
+        # segment-local tile ranges from global-key boundaries
+        end = jnp.searchsorted(
+            seg, (b * ntb + tid_hi) * C, side="left").astype(jnp.int32)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
+        starts.append(start)
+        counts_t.append(end - start)
+    seg_keys = jnp.stack(segs)                     # [n, Q]
+    live = seg_keys != _INT32_MAX
+    flat_rank = jnp.where(live, seg_keys % C, 0).astype(jnp.int32)
+    live_flat = live.reshape(-1)
+    fr = flat_rank.reshape(-1)
+
+    # rank-sorted permutation of the flat stream for the pack backward
+    # (_pack_bwd): dead slots key C -> back; stable sort keeps runs intact.
+    K = fr.shape[0]
+    iota = jnp.arange(K, dtype=jnp.int32)
+    rank_key, rank_perm = jax.lax.sort(
+        (jnp.where(live_flat, fr, C), iota), num_keys=1)
+
+    n_live = live_flat.sum().astype(jnp.int32)
+    n_dropped = (jnp.stack(drops).sum() + lost.sum() + drop_large)
+    return RingBinning(flat_rank=fr, live=live_flat, rank_perm=rank_perm,
+                       rank_key=rank_key, order=order.astype(jnp.int32),
+                       seg_start_gid=seg_start_gid, counts_gid=counts_gid,
+                       n_live=n_live,
+                       tile_start=jnp.stack(starts),
+                       tile_count=jnp.stack(counts_t),
+                       n_dropped=n_dropped)
+
+
 def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
             counts_gid, num_tiles, n_dropped) -> Binning:
     """Per-tile ranges of the sorted (tile, rank) compact instance stream.

@@ -50,6 +50,14 @@ from .raster_ref import EARLY_STOP_A, W_EPS
 N_ROWS = B.N_ROWS  # 16
 N_ACC = 8          # accumulator channels: r, g, b, depth, alpha, 3 pad
 
+# Rows of each instance chunk actually DMA'd from HBM (normally all 16).
+# scripts/ablate_kernel.py sets 8 to measure the upper bound of ANY
+# stream-bandwidth optimization (e.g. a bf16 attribute substream): if
+# halving the streamed bytes does not move the step, the kernels' chunk
+# DMAs are fully overlapped with compute and byte-shrinking levers are
+# dead.  Numerically wrong when < 16 (stale scratch rows) — ablation only.
+DMA_ROWS = N_ROWS
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -211,6 +219,9 @@ def _bwd_moments(gout, Mpix, ones_row, wgt, d_lw, d_op_pix):
 
 
 def _pixel_coords(t, tile_size, tiles_x, row0, col0, P):
+    """Pixel coordinates of tile id `t` (callers pass the GLOBAL tile id via
+    the tile_gid prefetch operand, so a band segment addresses full-image
+    coordinates while its start/count tables stay buffer-local)."""
     ty = t // tiles_x
     tx = t % tiles_x
     pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
@@ -250,13 +261,20 @@ def _chunk_alpha(ch, px, py, head, count, ci, G):
 
 # ======================== forward kernel ========================
 
-def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
-                chunk_ref, sem, *, tile_size, tiles_x, G, row0, col0):
+def _fwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
+                t0_ref, out_ref, chunk_ref, sem, *, tile_size, tiles_x, G,
+                row0, col0):
+    # t0_ref [1,1,P]: per-pixel transmittance ENTERING this raster call.  The
+    # single-pass path feeds ones and the math below reduces to the original
+    # kernel exactly; the ring-exchange path (parallel/ring.py) chains the
+    # previous depth-rank segment's output transmittance through it, so
+    # compositing resumes mid-stream with reference semantics (including the
+    # A >= 0.995 early-stop, which sees the GLOBAL accumulated alpha).
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     P = tile_size * tile_size
-    px, py = _pixel_coords(t, tile_size, tiles_x, row0, col0, P)
+    px, py = _pixel_coords(tile_gid_ref[t], tile_size, tiles_x, row0, col0, P)
     chunk0 = start // G          # first (possibly shared) stream chunk
     head = start - chunk0 * G    # unaligned offset within it
     n_chunks = jnp.where(count > 0, (head + count + G - 1) // G, 0)
@@ -266,9 +284,10 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
         # Mosaic requires dynamically-sliced dims to be untiled (the last two
         # dims carry the (8,128) tiling).  Slot ci%2 double-buffers.
         slot = jax.lax.rem(ci, 2)
+        idx = jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)
         return pltpu.make_async_copy(
-            inst_hbm.at[jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)],
-            chunk_ref.at[slot], sem.at[slot])
+            inst_hbm.at[idx, 0:DMA_ROWS],
+            chunk_ref.at[slot, 0:DMA_ROWS], sem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -297,10 +316,14 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
         return jnp.logical_and(ci < n_chunks,
                                jnp.max(T) > (1.0 - EARLY_STOP_A))
 
-    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
-            jnp.zeros((N_ACC, P), jnp.float32))
-    stop_ci, _, acc = jax.lax.while_loop(cond, body, init)
-    out_ref[0] = acc
+    T0 = jnp.swapaxes(t0_ref[0], 0, 1)        # [P, 1]
+    init = (jnp.int32(0), T0, jnp.zeros((N_ACC, P), jnp.float32))
+    stop_ci, T_fin, acc = jax.lax.while_loop(cond, body, init)
+    # acc row 5 is structurally zero (instance rows 11.. are zero padding) —
+    # repurpose it to report the tile's outgoing per-pixel transmittance,
+    # which the ring path chains into the next segment's t0.
+    out_ref[0] = jnp.concatenate(
+        [acc[0:5], jnp.swapaxes(T_fin, 0, 1), acc[6:8]], axis=0)
     # If the loop exited early (or at the boundary), a prefetched DMA may be
     # in flight: consume its semaphore so the next grid step starts clean.
     @pl.when(stop_ci < n_chunks)
@@ -310,8 +333,9 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, out_ref,
 
 # ======================== backward kernel ========================
 
-def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
-                dmain_init, dhead_init, dinst_hbm, dhead_hbm, chunk_ref,
+def _bwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
+                gout_ref, oraw_ref, t0_ref, dmain_init, dhead_init,
+                dinst_hbm, dhead_hbm, dt0_ref, chunk_ref,
                 dchunk_ref, sem, wsem, *, tile_size, tiles_x, G, row0, col0):
     # dchunk_ref/wsem are double-buffered [2, ...]: the write DMA of chunk i
     # overlaps the compute of chunk i+1 (waiting per chunk serialized the
@@ -329,22 +353,29 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
+    gid = tile_gid_ref[t]
     P = tile_size * tile_size
-    px, py = _pixel_coords(t, tile_size, tiles_x, row0, col0, P)
+    px, py = _pixel_coords(gid, tile_size, tiles_x, row0, col0, P)
     chunk0 = start // G
     head = start - chunk0 * G
     n_chunks = jnp.where(count > 0, (head + count + G - 1) // G, 0)
 
     gout = gout_ref[0]                 # [8, P] cotangent of raw accumulators
     oraw = oraw_ref[0]                 # [8, P] saved forward accumulators
-    # total_p = <dOut, O_total> per pixel, as a [P,1] column.
+    # total_p = <dOut, O_total> per pixel, as a [P,1] column.  Row 5 carries
+    # (gT, T_end): every forward contribution AND T_end scale linearly in the
+    # incoming transmittance t0, so `total` doubles as both the suffix-sum
+    # seed (S_j = total - incl_j then includes the cross-segment term
+    # gT * T_end exactly) and the t0 cotangent: dL/dt0 = total / t0.
     total = jnp.swapaxes(jnp.sum(gout * oraw, axis=0, keepdims=True), 0, 1)
+    T0 = jnp.swapaxes(t0_ref[0], 0, 1)            # [P, 1]
+    dt0_ref[0] = jnp.swapaxes(total / jnp.maximum(T0, 1e-30), 0, 1)
 
     # Tile-local pixel-moment rows [1, px, py, px^2, px*py, py^2] for the
     # moment matmul in the body (see d_s comments); built once per tile.
-    cx0 = ((t % tiles_x) * tile_size + col0).astype(jnp.float32) \
+    cx0 = ((gid % tiles_x) * tile_size + col0).astype(jnp.float32) \
         + 0.5 * tile_size
-    cy0 = ((t // tiles_x) * tile_size + row0).astype(jnp.float32) \
+    cy0 = ((gid // tiles_x) * tile_size + row0).astype(jnp.float32) \
         + 0.5 * tile_size
     pxl = px - cx0                     # [P,1]
     pyl = py - cy0
@@ -356,9 +387,10 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
 
     def dma(ci):
         slot = jax.lax.rem(ci, 2)
+        idx = jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)
         return pltpu.make_async_copy(
-            inst_hbm.at[jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)],
-            chunk_ref.at[slot], sem.at[slot])
+            inst_hbm.at[idx, 0:DMA_ROWS],
+            chunk_ref.at[slot, 0:DMA_ROWS], sem.at[slot])
 
     def wcopy_head(slot):
         return pltpu.make_async_copy(dchunk_ref.at[slot], dhead_hbm.at[t],
@@ -482,8 +514,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, inst_hbm, gout_ref, oraw_ref,
         return jnp.logical_and(ci < n_chunks,
                                jnp.max(T) > (1.0 - EARLY_STOP_A))
 
-    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32))
+    init = (jnp.int32(0), T0, jnp.zeros((P, 1), jnp.float32))
     stop_ci, _, _ = jax.lax.while_loop(cond, body, init)
 
     # Chunks skipped by early exit, stream-tail chunks, and head rows of
@@ -520,16 +551,18 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                                  tiles_x=tiles_x, G=G, row0=row0, col0=col0)
 
     fwd_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
 
-    def fwd_call(inst, tile_start, tile_count):
+    def fwd_call(inst, tile_start, tile_count, tile_gid, t0):
         return pl.pallas_call(
             kern_fwd,
             out_shape=jax.ShapeDtypeStruct((num_tiles, N_ACC, P), jnp.float32),
@@ -542,27 +575,31 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
                 vmem_limit_bytes=100 * 2 ** 20),
-        )(tile_start, tile_count, inst)
+        )(tile_start, tile_count, tile_gid, inst, t0)
 
     bwd_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
                         pltpu.VMEM((2, N_ROWS, G), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
     )
 
-    def bwd_call(inst, tile_start, tile_count, gout, oraw):
+    def bwd_call(inst, tile_start, tile_count, tile_gid, t0, gout, oraw):
         # The gradient outputs are aliased to zero-filled inputs: unwritten
         # slots (early-exit-skipped chunks, stream-tail chunks, aligned/empty
         # head rows) then hold exact zeros with no in-kernel zero-fill and no
@@ -573,28 +610,31 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
             kern_bwd,
             out_shape=(jax.ShapeDtypeStruct((K // G, N_ROWS, G), jnp.float32),
                        jax.ShapeDtypeStruct((num_tiles, N_ROWS, G),
-                                            jnp.float32)),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((num_tiles, 1, P), jnp.float32)),
             grid_spec=bwd_grid,
             interpret=interpret,
-            input_output_aliases={5: 0, 6: 1},
+            input_output_aliases={7: 0, 8: 1},
             # chunk-primary d_inst slices and per-tile d_head rows are
             # disjoint across tiles, so the grid is parallel
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, dimension_semantics=("parallel",),
                 vmem_limit_bytes=100 * 2 ** 20),
-        )(tile_start, tile_count, inst, gout, oraw, zmain, zhead)
+        )(tile_start, tile_count, tile_gid, inst, gout, oraw, t0,
+          zmain, zhead)
 
     @jax.custom_vjp
-    def raster_op(inst, tile_start, tile_count):
-        return fwd_call(inst, tile_start, tile_count)
+    def raster_op(inst, tile_start, tile_count, tile_gid, t0):
+        return fwd_call(inst, tile_start, tile_count, tile_gid, t0)
 
-    def raster_fwd(inst, tile_start, tile_count):
-        out = fwd_call(inst, tile_start, tile_count)
-        return out, (inst, tile_start, tile_count, out)
+    def raster_fwd(inst, tile_start, tile_count, tile_gid, t0):
+        out = fwd_call(inst, tile_start, tile_count, tile_gid, t0)
+        return out, (inst, tile_start, tile_count, tile_gid, t0, out)
 
     def raster_bwd(res, gout):
-        inst, tile_start, tile_count, oraw = res
-        d_main, d_head = bwd_call(inst, tile_start, tile_count, gout, oraw)
+        inst, tile_start, tile_count, tile_gid, t0, oraw = res
+        d_main, d_head, d_t0 = bwd_call(inst, tile_start, tile_count,
+                                        tile_gid, t0, gout, oraw)
         NC = K // G
         cid = jnp.arange(NC, dtype=jnp.int32)
         # Unwritten slots (early-exit-skipped chunks, stream tail, unused
@@ -612,10 +652,29 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
         merged = (csum[hi] - csum[lo]).reshape(NC, N_ROWS, G)
         d_inst = d_main + merged
         zero_i = np.zeros(tile_start.shape, jax_dtypes.float0)
-        return d_inst, zero_i, zero_i
+        return d_inst, zero_i, zero_i, zero_i, d_t0
 
     raster_op.defvjp(raster_fwd, raster_bwd)
     return raster_op
+
+
+def instance_attrs(proj: Projected, row0=0, col0=0) -> jnp.ndarray:
+    """[C, N_ROWS] per-Gaussian attribute matrix in the kernels' row layout
+    (binning.ROW_*), coordinates rebased to (row0, col0).  The conic rows
+    are pre-scaled (qa,qc by -0.5, qb by -1) so the kernel's quadratic form
+    IS log w (see _chunk_alpha); the pack VJP chains the scale back."""
+    zeros = jnp.zeros_like(proj.depth)
+    return jnp.stack([
+        proj.means2d[:, 0] - jnp.float32(col0),    # ROW_X
+        proj.means2d[:, 1] - jnp.float32(row0),    # ROW_Y
+        -0.5 * proj.conic[:, 0],
+        -proj.conic[:, 1],
+        -0.5 * proj.conic[:, 2],
+        proj.opacity,
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        proj.depth,
+        jnp.ones_like(proj.depth),                 # ROW_ONE (alpha channel)
+    ] + [zeros] * (N_ROWS - 11), axis=1)
 
 
 def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
@@ -675,20 +734,7 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     # rows past n_live hold garbage copies but no tile's [start, start+count)
     # window reaches them, and the raster backward hard-zeros their
     # gradient chunks before the pack backward runs.
-    zeros = jnp.zeros_like(proj.depth)
-    attrs = jnp.stack([
-        proj.means2d[:, 0] - jnp.float32(col0),    # ROW_X (band-local)
-        proj.means2d[:, 1] - jnp.float32(row0),    # ROW_Y
-        # conic rows pre-scaled so the kernel's quadratic form is log w
-        # directly (see _chunk_alpha); the VJP chains the scale back here
-        -0.5 * proj.conic[:, 0],
-        -proj.conic[:, 1],
-        -0.5 * proj.conic[:, 2],
-        proj.opacity,
-        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-        proj.depth,
-        jnp.ones_like(proj.depth),                 # ROW_ONE (alpha channel)
-    ] + [zeros] * (N_ROWS - 11), axis=1)           # [C, 16]
+    attrs = instance_attrs(proj, row0, col0)       # [C, 16]
     # static duplication bound = the binning path's per_axis**2 (pack bwd
     # sizes its masked doubling passes by it)
     if use_sharded:
@@ -701,7 +747,9 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                             b.seg_start_gid, b.counts_gid,
                             b.order, b.n_live, G,
                             per_axis * per_axis)   # [K//G, 16, G]
-    acc = op(inst, b.tile_start, b.tile_count)     # [T, 8, P]
+    tile_gid = jnp.arange(num_tiles, dtype=jnp.int32)
+    t0 = jnp.ones((num_tiles, 1, tile_size * tile_size), jnp.float32)
+    acc = op(inst, b.tile_start, b.tile_count, tile_gid, t0)  # [T, 8, P]
 
     img = acc.reshape(tiles_y, tiles_x, N_ACC, tile_size, tile_size)
     img = img.transpose(2, 0, 3, 1, 4).reshape(
@@ -710,4 +758,8 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     image = jnp.clip(rgb + (1.0 - A)[None] * bg[:, None, None], 0.0, 1.0)
     alpha = jnp.clip(A, 0.0, 1.0)[None]
     depth = (D / (A + 1e-6))[None]
-    return {"image": image, "alpha": alpha, "depth": depth}
+    # instances lost to stream-capacity overflow: nonzero means the render
+    # (and its gradients) silently miss instances — observable so trainers
+    # can warn/log instead of degrading quietly (size max_instances up)
+    return {"image": image, "alpha": alpha, "depth": depth,
+            "n_dropped": jax.lax.stop_gradient(b.n_dropped)}

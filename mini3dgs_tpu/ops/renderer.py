@@ -65,13 +65,27 @@ class RenderSettings:
     # Tile-sharding offsets: this invocation renders rows [row0, row0+H).
     row0: int = struct.field(pytree_node=False, default=0)
     col0: int = struct.field(pytree_node=False, default=0)
+    # Ring exchange for the tile-sharded raster (parallel/ring.py): instances
+    # partitioned by depth-rank range, exchanged around the tile ring with
+    # per-pixel transmittance carried across steps (vs. the default one-shot
+    # all_to_all home routing).  Only affects sharded (mesh) rendering.
+    ring: bool = struct.field(pytree_node=False, default=False)
+    # Per-(band, rank-range) segment capacity of the ring stream; 0 derives
+    # max_instances // n_shards (chunk-aligned).  Overflow drops counted.
+    ring_capacity: int = struct.field(pytree_node=False, default=0)
 
 
 def render(gaussians: Gaussians, camera: Camera,
-           settings: Optional[RenderSettings] = None) -> dict:
+           settings: Optional[RenderSettings] = None,
+           means2d_probe: Optional[jnp.ndarray] = None) -> dict:
     """Render one view.  Returns the reference's output dict
     (renderer.py:106-114): image [3,H,W], alpha [1,H,W], depth [1,H,W],
-    viewspace_points [C,2], visibility_filter [C], radii [C], conics [C,3]."""
+    viewspace_points [C,2], visibility_filter [C], radii [C], conics [C,3].
+
+    `means2d_probe` ([C,2], zeros): added to the projected pixel means, so
+    its gradient is the VIEWSPACE positional gradient — the quantity
+    canonical 3DGS accumulates for densification (SURVEY §2.2; the
+    reference declares the stat buffers but never wires them)."""
     if settings is None:
         settings = RenderSettings(image_height=camera.height,
                                   image_width=camera.width)
@@ -84,6 +98,10 @@ def render(gaussians: Gaussians, camera: Camera,
         color_mode=settings.color_mode, sh_degree=settings.sh_degree,
         scale_modifier=settings.scale_modifier,
         antialias=settings.antialias)
+    if means2d_probe is not None:
+        # the exact-cull half-extents are center-relative, so they remain
+        # valid under the (identically zero) probe offset
+        proj = proj._replace(means2d=proj.means2d + means2d_probe)
 
     if settings.use_pallas:
         from .raster_pallas import rasterize_tiles
@@ -112,4 +130,8 @@ def render(gaussians: Gaussians, camera: Camera,
         "visibility_filter": proj.visible,
         "radii": proj.radius,
         "conics": proj.conic,
+        # instance-stream overflow count (0 on the golden path, which has no
+        # stream capacity); trainers surface it so undersized max_instances
+        # cannot silently degrade gradients
+        "n_dropped": out.get("n_dropped", jnp.int32(0)),
     }

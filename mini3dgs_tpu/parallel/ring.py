@@ -1,0 +1,124 @@
+"""Ring exchange of depth-rank-range instance segments (SURVEY §2.5).
+
+This is the workload's ring-attention analog: the tile-sharded devices
+exchange *sorted Gaussian instance chunks* around the ring so each image
+band composites every overlapping Gaussian without a single one-shot
+home-routing collective — each exchange hop can overlap the raster of the
+previous chunk on real multi-chip hardware (reference contrast: nothing to
+exchange, single device at `/root/reference/src/core/renderer.py:28`).
+
+Why DEPTH-RANK-RANGE partitioning (and not gaussian-id shards, as the
+all_to_all route uses): front-to-back "over" compositing is associative but
+NOT commutative, so a band can only consume exchange steps incrementally if
+step s's instances sit strictly behind steps < s in depth everywhere.
+Partitioning the global depth order into n contiguous rank ranges gives
+exactly that; the per-pixel transmittance at the end of range s-1 is the
+initial transmittance of range s (kernel t0 chaining, raster_pallas).
+
+Schedule (device i = image-band owner i = rank-range owner i):
+  1. origin: bin + pack MY rank range's instances for ALL bands
+     (ops/binning.bin_gaussians_ring_origin) — n fixed-capacity segments.
+  2. pre-placement all_to_all: segment (band b, range r) -> device
+     (b + r) mod n, so every device starts holding one segment per band
+     and the buffers form a ring schedule.
+  3. n unrolled steps: raster buffer entry s (which at step s is MY band's
+     range-s segment) with carried transmittance, then ppermute the
+     not-yet-consumed entries one hop backward (j -> j-1).  On real
+     hardware the ppermute of step s+1's data overlaps step s's raster.
+
+Output differs from the one-shot route only by f32 association at segment
+boundaries (the monolithic stream groups chunks differently); gradients
+flow through the ppermute/all_to_all transposes back to the origin packs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import binning as B
+from ..ops import raster_pallas as RP
+from ..ops.projection import Projected
+
+
+def ring_rasterize_band(proj: Projected, band_h: int, W: int,
+                        bg: jnp.ndarray, *, axis_name: str, n_shards: int,
+                        tile_size: int = 16, max_instances: int = 2 ** 18,
+                        gaussian_chunk: int = 256,
+                        radius_max: float = 50.0, max_dup_per_axis: int = 0,
+                        large_capacity: int = 0, exact_cull: bool = True,
+                        ring_capacity: int = 0,
+                        interpret=None) -> dict:
+    """Render this device's image band (rows [i*band_h, (i+1)*band_h) of the
+    full band_h*n x W image) via the ring schedule.  Must be called inside
+    shard_map over `axis_name`; `proj` is the full (replicated) projected
+    set, as in the all_to_all route."""
+    if interpret is None:
+        interpret = RP._interpret()
+    n = n_shards
+    H = band_h * n
+    G = gaussian_chunk
+    C = proj.means2d.shape[0]
+    gtx = -(-W // tile_size)
+    gty = -(-H // tile_size)
+    ntb = (band_h // tile_size) * gtx          # tiles per band
+    P = tile_size * tile_size
+    Q = ring_capacity if ring_capacity > 0 else max(max_instances // n, G)
+    Q = ((Q + G - 1) // G) * G
+    i = jax.lax.axis_index(axis_name)
+
+    # ---- origin: bin + pack MY rank range for all bands ----
+    rb = B.bin_gaussians_ring_origin(
+        proj, H, W, tile_size, Q, G, axis_name, n,
+        radius_max=radius_max, max_dup_per_axis=max_dup_per_axis,
+        large_capacity=large_capacity, exact_cull=exact_cull)
+    per_axis = B._per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                                 gtx, gty)
+    attrs = RP.instance_attrs(proj)            # global coordinates
+    inst = B.pack_instances(attrs, rb.flat_rank, rb.rank_perm, rb.rank_key,
+                            rb.seg_start_gid, rb.counts_gid, rb.order,
+                            rb.n_live, G, per_axis * per_axis)
+    inst = inst.reshape(n, Q // G, B.N_ROWS, G)
+
+    # ---- pre-placement: segment b -> device (b + i) mod n ----
+    src = (jnp.arange(n, dtype=jnp.int32) - i) % n   # send[d] = seg[(d-i)%n]
+    send_inst = jnp.take(inst, src, axis=0)
+    send_ts = jnp.take(rb.tile_start, src, axis=0)
+    send_tc = jnp.take(rb.tile_count, src, axis=0)
+    a2a = lambda x: jax.lax.all_to_all(x, axis_name, split_axis=0,
+                                       concat_axis=0, tiled=True)
+    rb_inst = a2a(send_inst)                   # [n, Q//G, 16, G]
+    rb_ts = a2a(send_ts)                       # [n, ntb]
+    rb_tc = a2a(send_tc)
+    # entry r at device j now holds (band (j - r) mod n, range r); after s
+    # backward shifts, entry s is (band j, range s) — the ring invariant.
+
+    # ---- ring steps: raster entry s with carried T, shift the rest ----
+    op = RP._make_raster_op(ntb, gtx, tile_size, G, Q, 0, 0, interpret)
+    tile_gid = i * ntb + jnp.arange(ntb, dtype=jnp.int32)  # global tile ids
+    perm = [(j, (j - 1) % n) for j in range(n)]
+    T = jnp.ones((ntb, 1, P), jnp.float32)
+    acc = jnp.zeros((ntb, RP.N_ACC, P), jnp.float32)
+    for s in range(n):
+        # entry 0 is (MY band, range s) by the ring invariant
+        out = op(rb_inst[0], rb_ts[0], rb_tc[0], tile_gid, T)
+        acc = acc + out.at[:, 5:6, :].set(0.0)
+        T = out[:, 5:6, :]
+        if s + 1 < n:
+            # Drop the consumed entry; shift the rest one hop backward.  On
+            # hardware this exchange overlaps the next step's raster (XLA
+            # schedules the ppermute concurrently with compute that does
+            # not depend on it); hop s moves a (n-1-s)/n shrinking buffer.
+            rb_inst = jax.lax.ppermute(rb_inst[1:], axis_name, perm)
+            rb_ts = jax.lax.ppermute(rb_ts[1:], axis_name, perm)
+            rb_tc = jax.lax.ppermute(rb_tc[1:], axis_name, perm)
+
+    img = acc.reshape(band_h // tile_size, gtx, RP.N_ACC, tile_size,
+                      tile_size)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        RP.N_ACC, band_h, gtx * tile_size)[:, :, :W]
+    rgb, D, A = img[0:3], img[3], img[4]
+    image = jnp.clip(rgb + (1.0 - A)[None] * bg[:, None, None], 0.0, 1.0)
+    alpha = jnp.clip(A, 0.0, 1.0)[None]
+    depth = (D / (A + 1e-6))[None]
+    return {"image": image, "alpha": alpha, "depth": depth}

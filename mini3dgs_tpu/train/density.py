@@ -47,18 +47,38 @@ def should_densify(iteration: int, config: TrainingConfig) -> bool:
             and iteration % config.densify_interval == 0)
 
 
-def accumulate_grad_stats(g: Gaussians, xyz_grad: jnp.ndarray,
+def accumulate_grad_stats(g: Gaussians, grad_norm: jnp.ndarray,
                           radii: jnp.ndarray, visible: jnp.ndarray) -> Gaussians:
-    """Accumulate per-step ||grad_xyz|| into the stat buffers
-    (reference buffers gaussian_model.py:29-31; accumulation is the canonical
-    3DGS pattern the reference declares but never wires — SURVEY §2.2)."""
-    norm = jnp.linalg.norm(xyz_grad, axis=-1)
+    """Accumulate a per-Gaussian positional-gradient norm [C] into the stat
+    buffers (reference buffers gaussian_model.py:29-31; accumulation is the
+    canonical 3DGS pattern the reference declares but never wires — SURVEY
+    §2.2).  Callers pass `densify_stat_norm(...)`, which selects viewspace
+    (canonical) or world (reference-literal) gradients per config."""
     vis = visible.astype(jnp.float32)
     return g.replace(
-        xyz_gradient_accum=g.xyz_gradient_accum + norm * vis,
+        xyz_gradient_accum=g.xyz_gradient_accum + grad_norm * vis,
         denom=g.denom + vis,
         max_radii2D=jnp.maximum(g.max_radii2D, radii * vis),
     )
+
+
+def densify_stat_norm(config: TrainingConfig, xyz_grad: jnp.ndarray,
+                      vs_grad: jnp.ndarray, height: int,
+                      width: int) -> jnp.ndarray:
+    """The densification statistic [C] per `config.densify_grad_space`:
+
+    * "viewspace" (default): ||dL/d means2D|| scaled by 0.5*max(H,W) — the
+      canonical-3DGS NDC-unit statistic its tau = 2e-4 default was tuned
+      for (pixel coords x_pix = (x_ndc+1) * W/2, so dL/dx_ndc =
+      dL/dx_pix * W/2).  Measured: the world-space statistic over-triggers
+      cloning exponentially on the 30k schedule (clone counts x1.4 per
+      densify event by it ~5000).
+    * "world": the reference's literal xyz.grad norm
+      (gaussian_model.py:133-136)."""
+    if config.densify_grad_space == "world":
+        return jnp.linalg.norm(xyz_grad, axis=-1)
+    return (jnp.linalg.norm(vs_grad, axis=-1)
+            * (0.5 * float(max(height, width))))
 
 
 def size_mask_quantile(g: Gaussians, percent_dense: float) -> jnp.ndarray:

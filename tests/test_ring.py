@@ -1,0 +1,180 @@
+"""Ring-exchange raster (parallel/ring.py) vs the one-shot all_to_all route.
+
+The ring partitions instances by depth-rank range and composites range s
+strictly behind ranges < s with per-pixel transmittance chained through the
+kernels' t0 input.  Output must match the all_to_all route (and the
+single-device render) up to f32 association at segment boundaries: the
+monolithic stream groups the per-chunk log-space transmittance prefix
+differently than the per-segment streams, so bit-identity is not expected,
+but everything else is the same math on the same sorted multiset.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini3dgs_tpu.config import TrainingConfig
+from mini3dgs_tpu.ops.renderer import RenderSettings, render
+from mini3dgs_tpu.parallel.mesh import make_mesh
+from mini3dgs_tpu.parallel.sharded import (make_sharded_render,
+                                           make_sharded_train_step)
+from mini3dgs_tpu.train.trainer import create_train_state
+from tests.test_raster_pallas import make_gaussians, random_scene, rotated_scene
+from tests.test_render_golden import identity_camera
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _settings(cam, ring, **kw):
+    return RenderSettings(image_height=cam.height, image_width=cam.width,
+                          use_pallas=True, max_instances=4096,
+                          gaussian_chunk=32, ring=ring, **kw)
+
+
+@requires_8
+@pytest.mark.parametrize("aniso", [False, True])
+def test_ring_render_matches_route_and_single(aniso):
+    """Ring vs the all_to_all route is the apples-to-apples gate (identical
+    sharded projection + instance multisets; only chunk-boundary f32
+    association differs).  The vs-single gate is tight for isotropic scenes
+    only: the mesh path's slot-sharded projection compiles different XLA
+    fusions than the [C]-shaped replicated projection, and the resulting
+    f32-level covariance wiggle is amplified by the 2x2 inverse's
+    conditioning on strongly anisotropic splats (measured ~6e-3 conic ->
+    ~8e-3 image on rotated_scene, identically for the golden path and the
+    all_to_all route — a property of sharded projection, not the ring)."""
+    cam = identity_camera(64, 64, 70.0)
+    gs = rotated_scene(60, seed=11) if aniso else random_scene(60, seed=4)
+    mesh = make_mesh(data=1, tile=4)
+    out_single = render(gs, cam, _settings(cam, ring=False))
+    out_route = make_sharded_render(_settings(cam, ring=False), mesh)(gs, cam)
+    out_ring = make_sharded_render(_settings(cam, ring=True), mesh)(gs, cam)
+    # `depth` is D/(A+1e-6): where A ~ 0 it is a ratio of near-zeros and the
+    # conic wiggle flips it arbitrarily — compare the raw accumulator
+    # D = depth * (alpha + 1e-6) instead (linear, well-conditioned).
+    def field(out, k):
+        if k == "depth":
+            return np.asarray(out["depth"]) * (np.asarray(out["alpha"])
+                                               + 1e-6)
+        return np.asarray(out[k])
+
+    for k in ("image", "alpha", "depth"):
+        np.testing.assert_allclose(field(out_ring, k), field(out_route, k),
+                                   atol=2e-5,
+                                   err_msg=f"ring vs all_to_all: {k}")
+        np.testing.assert_allclose(
+            field(out_ring, k), field(out_single, k),
+            atol=2e-2 if aniso else 2e-5,
+            err_msg=f"ring vs single: {k}")
+
+
+@requires_8
+def test_ring_transmittance_chain_saturating():
+    """Deep co-centered high-opacity stack: early stop fires mid-stream, so
+    segment boundaries cross saturated pixels — the t0 chain must carry the
+    global accumulated alpha into later ring steps (gate + early exit)."""
+    n = 48
+    rng = np.random.default_rng(9)
+    xyz = np.concatenate([rng.uniform(-0.05, 0.05, (n, 2)),
+                          np.linspace(0.8, 2.4, n)[:, None]], axis=1)
+    sig = np.full((n, 3), 0.25, np.float32)
+    col = rng.uniform(0, 1, (n, 3))
+    op = np.full(n, 0.7, np.float32)
+    gs = make_gaussians(xyz.astype(np.float32), sig, col, op)
+    cam = identity_camera(64, 64, 70.0)
+    mesh = make_mesh(data=1, tile=4)
+    out_single = render(gs, cam, _settings(cam, ring=False))
+    out_ring = make_sharded_render(_settings(cam, ring=True), mesh)(gs, cam)
+    np.testing.assert_allclose(np.asarray(out_ring["image"]),
+                               np.asarray(out_single["image"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_ring["alpha"]),
+                               np.asarray(out_single["alpha"]), atol=3e-5)
+    # the scene actually saturates somewhere (early-stop path exercised)
+    assert float(np.max(np.asarray(out_single["alpha"]))) > 0.995
+
+
+@requires_8
+def test_ring_train_step_matches_route():
+    """One full sharded train step (loss, grads through the ppermute /
+    all_to_all transposes, Adam) with ring=True must match ring=False."""
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=True, max_instances=2048,
+                         gaussian_chunk=32, lambda_dssim=0.2)
+    gs = random_scene(40, seed=2, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=target)
+    base = RenderSettings(image_height=32, image_width=32, use_pallas=True,
+                          max_instances=2048, gaussian_chunk=32)
+    mesh = make_mesh(data=1, tile=2)
+
+    state1 = create_train_state(gs, cfg)
+    state2 = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+    state1, m1 = make_sharded_train_step(cfg, base, mesh)(state1, cams)
+    state2, m2 = make_sharded_train_step(
+        cfg, base.replace(ring=True), mesh)(state2, cams)
+
+    np.testing.assert_allclose(float(m2["total_loss"]),
+                               float(m1["total_loss"]), rtol=1e-5)
+    # Adam's first step is ~sign(g) * lr, which amplifies f32 association
+    # noise at segment boundaries; tolerances scale with per-group LRs.
+    np.testing.assert_allclose(np.asarray(state2.gaussians.xyz),
+                               np.asarray(state1.gaussians.xyz), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state2.gaussians.opacity),
+                               np.asarray(state1.gaussians.opacity), atol=4e-3)
+    np.testing.assert_allclose(np.asarray(state2.gaussians.features_dc),
+                               np.asarray(state1.gaussians.features_dc),
+                               atol=4e-4)
+
+
+@requires_8
+def test_ring_grads_match_route_exactly_scaled():
+    """Raw loss gradients (no optimizer) through both exchange schedules
+    agree to f32-association tolerance — pinned on a normalized scale so a
+    schedule bug (wrong segment order, missing transmittance carry, wrong
+    ppermute direction) cannot hide behind optimizer scaling."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from mini3dgs_tpu.parallel.sharded import _render_band
+
+    cam = identity_camera(64, 64, 70.0)
+    gs = random_scene(48, seed=7)  # divisible over the 4 ring devices
+    target = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (3, 64, 64)).astype(np.float32))
+    mesh = make_mesh(data=1, tile=4)
+    n = 4
+    band_h = 64 // n
+
+    def make_loss(ring):
+        st = _settings(cam, ring=ring)
+
+        def band_loss(params):
+            g = gs.with_params(params)
+            row0 = jax.lax.axis_index("tile") * band_h
+            out = _render_band(g, cam, st, band_h, row0,
+                               shard_axis="tile", n_shards=n)
+            tgt = jax.lax.dynamic_slice(target, (0, row0, 0), (3, band_h, 64))
+            return jax.lax.psum(jnp.abs(out["image"] - tgt).sum(), "tile")
+
+        def grads(params):
+            g = jax.grad(band_loss)(params)
+            return jax.tree.map(lambda x: jax.lax.pmean(x, ("data", "tile")),
+                                g)
+
+        return jax.jit(shard_map(grads, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))
+
+    params = gs.params()
+    g_route = make_loss(False)(params)
+    g_ring = make_loss(True)(params)
+    for k in g_route:
+        a, b = np.asarray(g_route[k]), np.asarray(g_ring[k])
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-5,
+                                   err_msg=f"grad {k}")

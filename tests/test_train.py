@@ -180,15 +180,17 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_grad_stats_accumulate_and_reset():
-    """Densification statistics accumulate ||grad_xyz|| per visible step and
-    reset after densify (reference buffers gaussian_model.py:29-31)."""
+    """Densification statistics accumulate a positional-grad norm per
+    visible step and reset after densify (reference buffers
+    gaussian_model.py:29-31; the norm itself comes from
+    density.densify_stat_norm — viewspace by default, world optional)."""
     from mini3dgs_tpu.train.density import accumulate_grad_stats
     g, _ = make_scene(capacity=64, n=16)
-    grads = jnp.ones((64, 3)) * 0.3
+    norm = jnp.full((64,), math.sqrt(3 * 0.09))
     radii = jnp.full((64,), 5.0)
     vis = jnp.zeros((64,), bool).at[:16].set(True)
-    g = accumulate_grad_stats(g, grads, radii, vis)
-    g = accumulate_grad_stats(g, grads, radii, vis)
+    g = accumulate_grad_stats(g, norm, radii, vis)
+    g = accumulate_grad_stats(g, norm, radii, vis)
     acc = np.asarray(g.xyz_gradient_accum)
     den = np.asarray(g.denom)
     np.testing.assert_allclose(acc[:16], 2 * math.sqrt(3 * 0.09), rtol=1e-5)
@@ -199,6 +201,45 @@ def test_grad_stats_accumulate_and_reset():
     res = density.densify_and_prune(g, jax.random.PRNGKey(0), 1.0, cfg)
     np.testing.assert_allclose(np.asarray(res.gaussians.xyz_gradient_accum), 0.0)
     np.testing.assert_allclose(np.asarray(res.gaussians.denom), 0.0)
+
+
+def test_densify_stat_norm_spaces():
+    """densify_stat_norm: viewspace (default) is the NDC-scaled means2D grad
+    norm (canonical 3DGS units for tau=2e-4); "world" is the reference's
+    literal ||grad_xyz||."""
+    import dataclasses
+    from mini3dgs_tpu.train.density import densify_stat_norm
+    cfg = small_config()
+    xyz_g = jnp.ones((8, 3)) * 0.3
+    vs_g = jnp.ones((8, 2)) * 1e-3
+    vs = densify_stat_norm(cfg, xyz_g, vs_g, 200, 100)
+    np.testing.assert_allclose(
+        np.asarray(vs), math.sqrt(2) * 1e-3 * 100.0, rtol=1e-6)
+    wcfg = dataclasses.replace(cfg, densify_grad_space="world")
+    w = densify_stat_norm(wcfg, xyz_g, vs_g, 200, 100)
+    np.testing.assert_allclose(np.asarray(w), math.sqrt(3 * 0.09), rtol=1e-6)
+
+
+def test_train_step_accumulates_viewspace_stats():
+    """A train step under the default viewspace mode accumulates nonzero
+    stats for visible gaussians, and the statistic really is the viewspace
+    probe gradient (independent of a pure world-space translation symmetry
+    argument: it must differ from the world-grad norm in general)."""
+    from mini3dgs_tpu.train.trainer import create_train_state, make_train_step
+    g, cam = make_scene(capacity=64, n=16)
+    target = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (3, cam.height, cam.width))
+        .astype(np.float32))
+    cam = cam.replace(image=target)
+    cfg = small_config()
+    settings = RenderSettings(image_height=cam.height, image_width=cam.width)
+    state = create_train_state(g, cfg)
+    state, _ = make_train_step(cfg, settings)(state, cam)
+    acc = np.asarray(state.gaussians.xyz_gradient_accum)
+    vis = np.asarray(state.gaussians.denom) > 0
+    assert vis[:16].any()
+    assert (acc[vis] > 0).all()
+    assert np.all(acc[~np.asarray(state.gaussians.alive)] == 0)
 
 
 def test_should_densify_cadence():

@@ -150,6 +150,11 @@ ABLATIONS = [
     ("u matmul -> free",
      {"_u_matmul": lambda gout, cmat:
       jnp.swapaxes(gout[:1, :], 0, 1) * cmat[:1, :]}),
+    # Upper bound of ANY stream-byte-shrinking lever (bf16 substream, row
+    # packing): halve the chunk DMA bytes.  Numerically wrong (stale
+    # scratch rows) — if the step doesn't move, the DMAs are fully
+    # overlapped and ROADMAP item 5 (bf16 stream) is dead by measurement.
+    ("chunk DMA halved (8/16 rows)", {"DMA_ROWS": 8}),
 ]
 
 

@@ -280,15 +280,18 @@ def main(argv=None) -> int:
     ap.add_argument("--radius", type=float, default=3.6)
     ap.add_argument("--points-only", action="store_true",
                     help="only (re)write points3d.ply, no rendering")
+    ap.add_argument("--n-points", type=int, default=30000,
+                    help="surface samples for the seed point cloud")
+    ap.add_argument("--points-name", type=str, default="points3d.ply")
     args = ap.parse_args(argv)
 
     if args.points_only:
         from mini3dgs_tpu.utils.io import save_ply
         out = Path(args.out)
         out.mkdir(parents=True, exist_ok=True)
-        pts, cols = sample_surface_points()
-        save_ply(pts, cols, str(out / "points3d.ply"))
-        print(f"wrote {len(pts)} surface points to {out/'points3d.ply'}")
+        pts, cols = sample_surface_points(n=args.n_points)
+        save_ply(pts, cols, str(out / args.points_name))
+        print(f"wrote {len(pts)} surface points to {out/args.points_name}")
         return 0
 
     from PIL import Image

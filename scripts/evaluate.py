@@ -50,8 +50,16 @@ def main(argv=None):
 
     cams = trainer.dataset.get_test_cameras()
     psnrs, ssims = [], []
+    # shard-aware: under a mesh, render through the band-sharded (or
+    # gauss-sharded) eval renderer instead of materializing replicated
+    # parameters on one device (GaussianTrainer._mesh_render_fn)
+    mesh_render = trainer._mesh_render_fn(trainer.settings)
     for i, cam in enumerate(cams):
-        out = render(trainer.state.gaussians, cam, trainer.settings)
+        if mesh_render is not None:
+            out = mesh_render(trainer.state.gaussians,
+                              cam.replace(uid=0, image_name=""))
+        else:
+            out = render(trainer.state.gaussians, cam, trainer.settings)
         if cam.image is not None:
             psnrs.append(float(psnr_fn(out["image"], cam.image)))
             ssims.append(float(ssim_fn(out["image"], cam.image)))

@@ -242,6 +242,23 @@ def test_train_step_accumulates_viewspace_stats():
     assert np.all(acc[~np.asarray(state.gaussians.alive)] == 0)
 
 
+def test_render_drops_metric_surfaces_overflow():
+    """An undersized instance stream must be OBSERVABLE: the train step
+    reports render_drops > 0 instead of silently degrading gradients."""
+    from mini3dgs_tpu.train.trainer import create_train_state, make_train_step
+    g, cam = make_scene(capacity=128, n=64)
+    target = jnp.zeros((3, cam.height, cam.width), jnp.float32)
+    cam = cam.replace(image=target)
+    cfg = small_config()
+    settings = RenderSettings(image_height=cam.height, image_width=cam.width,
+                              use_pallas=True, max_instances=32,
+                              gaussian_chunk=32)
+    state = create_train_state(g, cfg)
+    state, metrics = make_train_step(cfg, settings)(state, cam)
+    assert int(metrics["render_drops"]) > 0
+    assert np.all(np.isfinite(np.asarray(state.gaussians.xyz)))
+
+
 def test_should_densify_cadence():
     cfg = small_config(densify_from_iter=500, densify_until_iter=15000,
                        densify_interval=100)

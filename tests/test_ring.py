@@ -133,6 +133,39 @@ def test_ring_train_step_matches_route():
 
 
 @requires_8
+def test_ring_overflow_finite():
+    """Undersized ring segments (per-(band,range) capacity overflow) must
+    degrade gracefully: finite image and gradients, never NaN/crash."""
+    cam = identity_camera(64, 64, 70.0)
+    gs = random_scene(64, seed=4)
+    mesh = make_mesh(data=1, tile=4)
+    st = _settings(cam, ring=True).replace(ring_capacity=32)
+    f = make_sharded_render(st, mesh)
+    out = f(gs, cam)
+    assert np.all(np.isfinite(np.asarray(out["image"])))
+
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from mini3dgs_tpu.parallel.sharded import _render_band
+
+    def grads(params):
+        def loss(p):
+            g = gs.with_params(p)
+            row0 = jax.lax.axis_index("tile") * 16
+            out = _render_band(g, cam, st, 16, row0,
+                               shard_axis="tile", n_shards=4)
+            return jax.lax.psum(jnp.square(out["image"]).sum(), "tile")
+        g = jax.grad(loss)(params)
+        return jax.tree.map(lambda x: jax.lax.pmean(x, ("data", "tile")), g)
+
+    gr = jax.jit(shard_map(grads, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                           check_vma=False))(gs.params())
+    for k, v in gr.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+
+@requires_8
 def test_ring_grads_match_route_exactly_scaled():
     """Raw loss gradients (no optimizer) through both exchange schedules
     agree to f32-association tolerance — pinned on a normalized scale so a

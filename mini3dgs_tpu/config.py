@@ -59,6 +59,15 @@ class TrainingConfig:
     opacity_reset_interval: int = 3000  # canonical 3DGS cadence (reference leaves it unwired)
     percent_dense_split: float = 0.03   # split if mean sigma > 0.03 * extent (gaussian_model.py:137)
     percent_dense_clone: float = 0.01   # clone if mean sigma < 0.01 * extent (gaussian_model.py:166)
+    # Canonical-3DGS big-point prunes, applied at densify events once
+    # iteration > opacity_reset_interval (graphdeco train.py size_threshold
+    # semantics): screen-size prune on the window's max 2D radius (pixels)
+    # and world-size prune on max sigma as a fraction of the scene extent.
+    # Measured necessity: without them a tail of splats balloons to the
+    # radius_max clamp (25 tiles each at tile 32), overflowing the instance
+    # stream and capping per-view quality on the 30k schedule.  0 disables.
+    prune_max_screen_size: float = 20.0
+    prune_max_world_size: float = 0.1
     # Gradient space for the densification statistic: "viewspace" accumulates
     # the canonical-3DGS viewspace (projected-mean) gradient norm scaled to
     # NDC units (0.5*max(H,W) * pixel grad) — the units densify_grad_threshold
@@ -128,6 +137,8 @@ _NESTED_MAP = {
     ("density_control", "prune_interval"): "prune_interval",
     ("density_control", "opacity_reset_interval"): "opacity_reset_interval",
     ("density_control", "densify_grad_space"): "densify_grad_space",
+    ("density_control", "prune_max_screen_size"): "prune_max_screen_size",
+    ("density_control", "prune_max_world_size"): "prune_max_world_size",
     ("rendering", "image_height"): "image_height",
     ("rendering", "image_width"): "image_width",
     ("rendering", "background_color"): "background_color",

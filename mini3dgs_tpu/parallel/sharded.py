@@ -609,9 +609,10 @@ def make_gauss_sharded_densify_step(config: TrainingConfig, mesh: Mesh,
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
 
     @partial(jax.jit, out_shardings=(shardings, None), donate_argnums=(0,))
-    def densify_step(state: TrainState, key, scene_extent):
+    def densify_step(state: TrainState, key, scene_extent,
+                     size_prune=False):
         result = density.densify_and_prune(state.gaussians, key, scene_extent,
-                                           config)
+                                           config, size_prune=size_prune)
         opt_state = reset_adam_slots(state.opt_state, result.changed_slots)
         new_state = TrainState(gaussians=result.gaussians, opt_state=opt_state,
                                step=state.step, exposure=state.exposure,

@@ -111,7 +111,13 @@ def prune_only(g: Gaussians, config: TrainingConfig) -> Tuple[Gaussians, jnp.nda
 
 
 def densify_and_prune(g: Gaussians, key: jax.Array, scene_extent,
-                      config: TrainingConfig) -> DensifyResult:
+                      config: TrainingConfig,
+                      size_prune=False) -> DensifyResult:
+    """`size_prune` (traced bool OK): additionally prune big points —
+    screen-size (window max 2D radius > prune_max_screen_size px) and
+    world-size (max sigma > prune_max_world_size * extent) — the canonical
+    3DGS rule active once iteration > opacity_reset_interval (the trainer
+    passes that condition).  Traced so the jitted step never recompiles."""
     C = g.capacity
     # Mean accumulated gradient norm (visible steps only).
     grad = g.xyz_gradient_accum / jnp.maximum(g.denom, 1.0)
@@ -181,6 +187,20 @@ def densify_and_prune(g: Gaussians, key: jax.Array, scene_extent,
     # config like reference default.yaml:34 `prune_opacity_threshold`) ----
     opacity_sig = jax.nn.sigmoid(new["opacity"][:, 0])
     keep = opacity_sig > config.prune_opacity_threshold
+    # ---- canonical big-point prunes (see docstring), gated on the traced
+    # `size_prune` flag.  Screen-size uses the PRE-surgery window max radius
+    # and exempts slots just written (their buffer rows are stale values of
+    # the previous occupant); world-size uses the post-surgery scales. ----
+    newly = jnp.zeros((C,), bool)
+    for slots in (slot_child1, slot_child2, slot_clone):
+        newly = newly.at[slots].set(True, mode="drop")
+    size_keep = jnp.ones((C,), bool)
+    if config.prune_max_screen_size > 0:
+        size_keep &= newly | (g.max_radii2D <= config.prune_max_screen_size)
+    if config.prune_max_world_size > 0:
+        sig_new = jnp.exp(new["scaling"]).max(axis=-1)
+        size_keep &= sig_new <= config.prune_max_world_size * scene_extent
+    keep = keep & (size_keep | ~jnp.asarray(size_prune, bool))
     n_pruned = (alive & ~keep).sum()
     alive_final = alive & keep
 

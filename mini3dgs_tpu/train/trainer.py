@@ -138,9 +138,10 @@ def make_train_step(config: TrainingConfig,
 
 def make_densify_step(config: TrainingConfig) -> Callable:
     @jax.jit
-    def densify_step(state: TrainState, key: jax.Array, scene_extent):
+    def densify_step(state: TrainState, key: jax.Array, scene_extent,
+                     size_prune=False):
         result = density.densify_and_prune(state.gaussians, key, scene_extent,
-                                           config)
+                                           config, size_prune=size_prune)
         opt_state = reset_adam_slots(state.opt_state, result.changed_slots)
         # exposure state rides through unchanged: densification only touches
         # Gaussian slots, never the per-camera affines
@@ -394,8 +395,13 @@ class GaussianTrainer:
             metrics = self.train_step(cam, cam_idx)
             if density.should_densify(it, self.config):
                 self._key, sub = jax.random.split(self._key)
+                # canonical big-point prune activates after the first
+                # opacity reset (graphdeco size_threshold gating)
+                size_prune = (self.config.opacity_reset_interval > 0
+                              and it > self.config.opacity_reset_interval)
                 self.state, dstats = self._densify_step(
-                    self.state, sub, jnp.float32(self.scene_extent))
+                    self.state, sub, jnp.float32(self.scene_extent),
+                    jnp.asarray(size_prune))
                 metrics.update(dstats)
                 # occupancy-triggered capacity growth (recompiles; rare)
                 if (int(dstats["n_alive"])

@@ -242,6 +242,25 @@ def test_train_step_accumulates_viewspace_stats():
     assert np.all(acc[~np.asarray(state.gaussians.alive)] == 0)
 
 
+def test_big_point_prune():
+    """Canonical big-point prunes (screen radius > prune_max_screen_size,
+    world sigma > prune_max_world_size * extent) fire only when the traced
+    size_prune flag is set (post-first-opacity-reset gating)."""
+    g, _ = make_scene(capacity=64, n=16)
+    # gaussian 0: huge world size; gaussian 1: huge window screen radius
+    g = g.replace(
+        scaling=g.scaling.at[0].set(jnp.log(0.5)),
+        max_radii2D=g.max_radii2D.at[1].set(100.0))
+    cfg = small_config(prune_max_screen_size=20.0, prune_max_world_size=0.1)
+    key = jax.random.PRNGKey(0)
+    res_off = density.densify_and_prune(g, key, 1.0, cfg, size_prune=False)
+    assert bool(res_off.gaussians.alive[0]) and bool(res_off.gaussians.alive[1])
+    res_on = density.densify_and_prune(g, key, 1.0, cfg, size_prune=True)
+    assert not bool(res_on.gaussians.alive[0])   # world-size pruned
+    assert not bool(res_on.gaussians.alive[1])   # screen-size pruned
+    assert bool(res_on.gaussians.alive[2])       # normal ones survive
+
+
 def test_render_drops_metric_surfaces_overflow():
     """An undersized instance stream must be OBSERVABLE: the train step
     reports render_drops > 0 instead of silently degrading gradients."""

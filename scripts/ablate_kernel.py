@@ -67,6 +67,24 @@ def _bwd_moments_default(gout, Mpix, ones_row, wgt, d_lw, d_op_pix):
     return d(gout, wgt), d(Mpix, d_lw), d(ones_row, d_op_pix)
 
 
+def _bwd_moments_fused3(gout, Mpix, ones_row, wgt, d_lw, d_op_pix):
+    """All three pixel reductions as ONE block-diagonal [15,3P]x[3P,G]
+    matmul.  Numerically CORRECT (zero off-blocks) — a production candidate
+    if the per-matmul pipeline fill dominates (v15 measured the moment
+    matmul fill-bound at ~11% MXU utilization); the original fused form
+    failed to compile under the old 16MB scoped-vmem limit, now 100MB."""
+    NA, P = gout.shape
+    z = lambda r, c: jnp.zeros((r, c), jnp.float32)
+    A = jnp.concatenate([
+        jnp.concatenate([gout, z(NA, 2 * P)], axis=1),
+        jnp.concatenate([z(6, P), Mpix, z(6, P)], axis=1),
+        jnp.concatenate([z(1, 2 * P), ones_row], axis=1)], axis=0)
+    R = jnp.concatenate([wgt, d_lw, d_op_pix], axis=0)
+    out = jax.lax.dot_general(A, R, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out[:NA], out[NA:NA + 6], out[NA + 6:]
+
+
 def _d_alpha_mult(u, T_before, gate, S, lg):
     # exp replaced by a multiply (wrong numerics, same shapes/ops count-1)
     return u * T_before * gate - S * (2.0 - lg)
@@ -155,6 +173,9 @@ ABLATIONS = [
     # scratch rows) — if the step doesn't move, the DMAs are fully
     # overlapped and ROADMAP item 5 (bf16 stream) is dead by measurement.
     ("chunk DMA halved (8/16 rows)", {"DMA_ROWS": 8}),
+    # Numerically-correct production candidate: one fused block-diagonal
+    # matmul for all three bwd pixel reductions (fill-bound hypothesis).
+    ("bwd moments fused 1-matmul", {"_bwd_moments": _bwd_moments_fused3}),
 ]
 
 

@@ -133,6 +133,39 @@ def test_ring_train_step_matches_route():
 
 
 @requires_8
+def test_ring_with_gauss_sharded_state():
+    """Ring exchange composes with the gauss-sharded (TP) step: the model
+    and Adam state stay sharded over the gauss axis while the raster runs
+    the ring schedule; loss matches the all_to_all route."""
+    from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
+                                               shard_train_state)
+    from mini3dgs_tpu.train.trainer import create_train_state
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=True, max_instances=2048,
+                         gaussian_chunk=32, mesh_data=1, mesh_tile=2,
+                         shard_gauss_state=True)
+    gs = random_scene(40, seed=2, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=target)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+    base = RenderSettings(image_height=32, image_width=32, use_pallas=True,
+                          max_instances=2048, gaussian_chunk=32)
+    mesh = make_mesh(data=1, tile=2)
+    losses = {}
+    for ring in (False, True):
+        st = shard_train_state(
+            create_train_state(jax.tree.map(jnp.copy, gs), cfg), mesh)
+        step = make_gauss_sharded_train_step(
+            cfg, base.replace(ring=ring), mesh, st)
+        st, m = step(st, cams)
+        losses[ring] = float(m["total_loss"])
+        assert np.isfinite(losses[ring])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+@requires_8
 def test_ring_overflow_finite():
     """Undersized ring segments (per-(band,range) capacity overflow) must
     degrade gracefully: finite image and gradients, never NaN/crash."""

@@ -44,6 +44,12 @@ class TrainingConfig:
     position_lr_delay_steps: int = 0
     position_lr_delay_mult: float = 0.01
     position_lr_max_steps: int = 30000
+    # Canonical 3DGS scales the position LR by the camera-rig extent
+    # (graphdeco: xyz lr = position_lr_init * spatial_lr_scale), so position
+    # steps are proportional to scene size.  Without it, positions
+    # under-move and the optimizer compensates by inflating scales
+    # (measured: splats balloon to the radius clamp on the 30k schedule).
+    scale_position_lr_by_extent: bool = True
     feature_lr: float = 0.0025
     opacity_lr: float = 0.05
     scaling_lr: float = 0.005
@@ -149,6 +155,7 @@ _NESTED_MAP = {
     ("loss", "lambda_dssim"): "lambda_dssim",
     ("training", "use_exposure"): "use_exposure",
     ("learning_rates", "exposure"): "exposure_lr",
+    ("learning_rates", "scale_position_by_extent"): "scale_position_lr_by_extent",
     ("system", "device"): "device",
     ("system", "seed"): "seed",
     ("tpu", "capacity"): "capacity",

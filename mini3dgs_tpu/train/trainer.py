@@ -280,13 +280,30 @@ class GaussianTrainer:
                 color_mode=self.config.color_mode,
                 antialias=self.config.antialias,
                 sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)
+        # Canonical scene extent (graphdeco getNerfppNorm): 1.1x the camera
+        # rig's max distance from its mean center — the unit behind the
+        # percent-dense densify thresholds, the world-size prune, AND the
+        # spatial position-LR scaling.  The gaussian-cloud heuristic
+        # (reference gaussian_model.py:61-62) is the no-camera fallback.
+        if self.dataset is not None and getattr(self.dataset, "cameras", None):
+            self.scene_extent = 1.1 * float(
+                self.dataset.get_scene_info()["radius"])
+        else:
+            self.scene_extent = float(scene_extent_of(gaussians))
+        if self.config.scale_position_lr_by_extent:
+            import dataclasses
+            e = self.scene_extent
+            self.config = dataclasses.replace(
+                self.config,
+                position_lr_init=self.config.position_lr_init * e,
+                position_lr_final=self.config.position_lr_final * e,
+                scale_position_lr_by_extent=False)  # applied exactly once
         n_cams = len(self.train_cameras()) if self.dataset is not None else 0
         self.state = create_train_state(gaussians, self.config,
                                         n_cameras=n_cams)
         self._train_steps = {}  # active SH degree -> jitted step
         self._densify_step = make_densify_step(self.config)
         self._prune_step = make_prune_step(self.config)
-        self.scene_extent = float(scene_extent_of(gaussians))
         # multi-device: (data, tile) mesh via parallel/sharded.py
         self.mesh = None
         if self.config.mesh_data * self.config.mesh_tile > 1:

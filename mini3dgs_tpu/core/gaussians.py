@@ -166,11 +166,15 @@ def create_from_pcd(points: np.ndarray, colors: Optional[np.ndarray] = None,
 
 
 def reset_opacity(g: Gaussians, new_opacity: float = 0.01) -> Gaussians:
-    """Set all alive opacities to logit(new_opacity) (gaussian_model.py:210-216)."""
+    """Clamp alive opacities DOWN to logit(new_opacity)
+    (gaussian_model.py:210-216 intent; canonical 3DGS uses
+    min(opacity, 0.01) — the reset must never RAISE a nearly-transparent
+    splat back above the prune threshold, which the reference's set-all
+    form would)."""
     val = float(np.clip(new_opacity, 1e-4, 1 - 1e-4))
     logit = math.log(val / (1 - val))
-    # Reference sets *all* rows to the clamped value; dead slots stay at -10.
-    new = jnp.where(g.alive[:, None], jnp.full_like(g.opacity, logit), g.opacity)
+    new = jnp.where(g.alive[:, None], jnp.minimum(g.opacity, logit),
+                    g.opacity)
     return g.replace(opacity=new)
 
 

@@ -106,6 +106,7 @@ class TrainingConfig:
     max_instances: int = 2 ** 20     # capacity of the (tile, depth)-key instance buffer
     gaussian_chunk: int = 256        # Gaussians per VMEM chunk in the raster kernel
     max_dup_per_axis: int = 0        # 0 = exact bound from radius_max; >0 shrinks the candidate sort
+    large_capacity: int = 0          # two-level binning's large-splat (span > 2x2) pool; 0 = capacity/8
     mesh_data: int = 1               # camera/data-parallel mesh axis size
     mesh_tile: int = 1               # tile-parallel mesh axis size
     shard_gauss_state: bool = False  # shard model+Adam state over the gauss axis (per-device memory ~C/n)
@@ -161,6 +162,8 @@ _NESTED_MAP = {
     ("tpu", "capacity"): "capacity",
     ("tpu", "max_instances"): "max_instances",
     ("tpu", "gaussian_chunk"): "gaussian_chunk",
+    ("tpu", "large_capacity"): "large_capacity",
+    ("tpu", "max_dup_per_axis"): "max_dup_per_axis",
     ("tpu", "mesh_data"): "mesh_data",
     ("tpu", "mesh_tile"): "mesh_tile",
     ("tpu", "shard_gauss_state"): "shard_gauss_state",

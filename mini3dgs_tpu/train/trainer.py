@@ -275,6 +275,7 @@ class GaussianTrainer:
                 max_instances=self.config.max_instances,
                 gaussian_chunk=self.config.gaussian_chunk,
                 max_dup_per_axis=self.config.max_dup_per_axis,
+                large_capacity=self.config.large_capacity,
                 ring=self.config.ring_exchange,
                 ring_capacity=self.config.ring_capacity,
                 color_mode=self.config.color_mode,

@@ -162,12 +162,6 @@ def _d_alpha_exp2(u, T_before, gate, S, lg):
 #   transmittance prefix free -0.2, uw prefix free -0.15 (MXU prefixes free)
 ABLATIONS = [
     ("baseline", {}),
-    ("moment matmul -> free", {"_bwd_moments": _bwd_moments_free}),
-    ("moments all-DEFAULT precision",
-     {"_bwd_moments": _bwd_moments_default}),
-    ("u matmul -> free",
-     {"_u_matmul": lambda gout, cmat:
-      jnp.swapaxes(gout[:1, :], 0, 1) * cmat[:1, :]}),
     # Upper bound of ANY stream-byte-shrinking lever (bf16 substream, row
     # packing): halve the chunk DMA bytes.  Numerically wrong (stale
     # scratch rows) — if the step doesn't move, the DMAs are fully
@@ -176,6 +170,9 @@ ABLATIONS = [
     # Numerically-correct production candidate: one fused block-diagonal
     # matmul for all three bwd pixel reductions (fill-bound hypothesis).
     ("bwd moments fused 1-matmul", {"_bwd_moments": _bwd_moments_fused3}),
+    # (the v15-era "moment matmul -> free" degenerate variant now trips a
+    # Mosaic vector_extract_slice check under the round-3 kernels — it is
+    # an intentionally-wrong shape probe, dropped rather than chased)
 ]
 
 

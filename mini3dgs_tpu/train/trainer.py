@@ -210,7 +210,17 @@ def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
             return pad(x)
         return x
 
+    # Layout contract with make_optimizer (optimizer.py): opt_state is a
+    # tuple whose FIRST element is optax's ScaleByAdamState (mu/nu moment
+    # pytrees over the Gaussians).  Any optimizer-chain reordering breaks
+    # capacity growth at a distance — fail loudly with the expectation named
+    # rather than padding the wrong leaf.
     adam = state.opt_state[0]
+    if not (hasattr(adam, "mu") and hasattr(adam, "nu")):
+        raise TypeError(
+            "grow_capacity expects state.opt_state[0] to be optax's "
+            "ScaleByAdamState (the scale_by_adam entry must stay first in "
+            f"the make_optimizer chain); got {type(adam).__name__}")
     new_adam = adam._replace(mu=jax.tree.map(pad_moment, adam.mu),
                              nu=jax.tree.map(pad_moment, adam.nu))
     return TrainState(gaussians=new_g,

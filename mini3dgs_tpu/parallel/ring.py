@@ -121,4 +121,8 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
     image = jnp.clip(rgb + (1.0 - A)[None] * bg[:, None, None], 0.0, 1.0)
     alpha = jnp.clip(A, 0.0, 1.0)[None]
     depth = (D / (A + 1e-6))[None]
-    return {"image": image, "alpha": alpha, "depth": depth}
+    # origin-local overflow count (this device's rank range, all bands) —
+    # same per-device semantics as the one-shot sharded route; callers psum
+    # over the axis for the per-camera total (trainer metric render_drops)
+    return {"image": image, "alpha": alpha, "depth": depth,
+            "n_dropped": jax.lax.stop_gradient(rb.n_dropped)}

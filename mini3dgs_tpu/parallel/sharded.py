@@ -182,6 +182,12 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
             total, parts = gaussian_loss_banded(
                 image, band_target, H, "tile", config.lambda_dssim)
             total = jax.lax.pmean(total, "data")
+            # per-camera instance-stream overflow total (device-local counts
+            # psum'd over tile) — same observability as the single-device
+            # step's render_drops (trainer.py); golden path never drops
+            parts = dict(parts)
+            parts["render_drops"] = jax.lax.psum(
+                jnp.asarray(out.get("n_dropped", 0), jnp.float32), "tile")
             return total, (parts, jax.lax.stop_gradient(proj.radius),
                            jax.lax.stop_gradient(proj.visible))
 
@@ -388,6 +394,10 @@ def make_gauss_sharded_train_step(config: TrainingConfig,
             total, parts = gaussian_loss_banded(
                 image, band_target, H, "tile", config.lambda_dssim)
             total = jax.lax.pmean(total, "data")
+            # see make_sharded_train_step: per-camera overflow observability
+            parts = dict(parts)
+            parts["render_drops"] = jax.lax.psum(
+                jnp.asarray(out.get("n_dropped", 0), jnp.float32), "tile")
             return total, (parts, jax.lax.stop_gradient(proj_local.radius),
                            jax.lax.stop_gradient(proj_local.visible))
 

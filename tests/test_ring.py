@@ -166,6 +166,38 @@ def test_ring_with_gauss_sharded_state():
 
 
 @requires_8
+@pytest.mark.parametrize("ring", [False, True])
+def test_sharded_step_reports_render_drops(ring):
+    """Both sharded routes must surface instance-stream overflow in the
+    step metrics (render_drops, psum'd over tile to the per-camera total)
+    exactly like the single-device step — overflow silently degrades
+    gradients, so it must never be silent (PERF.md round-3).  Healthy
+    capacity reports zero; an undersized stream reports > 0."""
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=True, max_instances=2048,
+                         gaussian_chunk=32)
+    gs = random_scene(48, seed=3, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=target)
+    mesh = make_mesh(data=1, tile=2)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+
+    healthy = RenderSettings(image_height=32, image_width=32, use_pallas=True,
+                             max_instances=2048, gaussian_chunk=32, ring=ring)
+    state = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
+    _, m = make_sharded_train_step(cfg, healthy, mesh)(state, cams)
+    assert float(m["render_drops"]) == 0.0
+
+    tight = (healthy.replace(ring_capacity=32) if ring
+             else healthy.replace(max_instances=32))
+    state = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
+    _, m = make_sharded_train_step(cfg, tight, mesh)(state, cams)
+    assert float(m["render_drops"]) > 0.0
+
+
+@requires_8
 def test_ring_overflow_finite():
     """Undersized ring segments (per-(band,range) capacity overflow) must
     degrade gracefully: finite image and gradients, never NaN/crash."""

@@ -838,6 +838,181 @@ def bin_gaussians_ring_origin(proj: Projected, full_h: int, full_w: int,
                        n_dropped=n_dropped)
 
 
+# ---------------------------------------------------------------------------
+# Ring v2: rank-resharded origin (parallel/ring.py `reshard=True`).
+#
+# v1 keeps the full [C] projected set on every device and each origin merely
+# RESTRICTS emission to its depth-rank range — all per-Gaussian stages stay
+# O(C).  v2 first routes each projected row to its rank-range owner with one
+# all_to_all (fixed [n, C/n] send layout: slot d carries the rows whose rank
+# lands in range d, masked elsewhere), then compacts the received slots by a
+# rank sort — after which local row j IS global rank rank_base + j, so the
+# origin's emission grids, candidate sort, and pack all run on C/n rows.
+# The compaction gather's transpose would be a serial TPU scatter, so it is
+# a custom-VJP row gather whose backward is ANOTHER row gather by the
+# inverse permutation (positions < Cs read the cotangent, the rest read a
+# zero pad row) — scatter-free both ways.
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _take_rows(mat, idx, pos, m):
+    """mat[idx[:m]] ([S, R] -> [m, R] row gather) with a scatter-free VJP.
+    `pos` must be the inverse permutation of `idx` (pos[s] = position of
+    slot s in the sorted order); rows whose pos >= m get zero cotangent."""
+    return jnp.take(mat, idx[:m], axis=0)
+
+
+def _take_rows_fwd(mat, idx, pos, m):
+    return jnp.take(mat, idx[:m], axis=0), (pos,)
+
+
+def _take_rows_bwd(m, res, g):
+    (pos,) = res
+    gp = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    sidx = jnp.where(pos < m, pos, m)          # >= m -> the zero pad row
+    d_mat = jnp.take(gp, sidx, axis=0)
+    f0 = lambda shape: np.zeros(shape, jax_dtypes.float0)
+    return (d_mat, f0(pos.shape), f0(pos.shape))
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def rank_reshard_rows(mat: jnp.ndarray, rank_local: jnp.ndarray,
+                      axis_name: str, n_shards: int) -> jnp.ndarray:
+    """Route gid-sharded rows to their depth-rank-range owners.
+
+    `mat` [Cs, R]: this device's gid-contiguous rows (global gids
+    [i*Cs, (i+1)*Cs)); `rank_local` [Cs]: each row's GLOBAL depth rank.
+    Returns [Cs, R]: the rows of ranks [i*Cs, (i+1)*Cs) in rank order
+    (local row j = global rank i*Cs + j).  Differentiable w.r.t. `mat`:
+    the masked-select and all_to_all transpose route cotangents back to
+    gid owners; the compaction is `_take_rows` (scatter-free VJP)."""
+    Cs, R = mat.shape
+    dest = rank_local // Cs                     # rank-range owner per row
+    lanes = jnp.arange(n_shards, dtype=jnp.int32)
+    dsel = dest[None, :] == lanes[:, None]      # [n, Cs]
+    send = jnp.where(dsel[:, :, None], mat[None], 0.0)
+    skey = jnp.where(dsel, rank_local[None, :], _INT32_MAX)
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    rkey = jax.lax.all_to_all(skey, axis_name, split_axis=0,
+                              concat_axis=0, tiled=True)
+    recv = recv.reshape(n_shards * Cs, R)
+    rkey = rkey.reshape(-1)
+    # exactly Cs slots carry a key (< INT32_MAX): my range's ranks, each
+    # once (ranks are a permutation) — the stable sort fronts them ascending
+    idx = jax.lax.sort(
+        (rkey, jnp.arange(n_shards * Cs, dtype=jnp.int32)), num_keys=1)[1]
+    pos = _inverse_permutation(idx)
+    return _take_rows(recv, idx, pos, Cs)
+
+
+def bin_gaussians_ring_origin_resharded(
+        proj_local: Projected, rank_base: jnp.ndarray, C: int,
+        full_h: int, full_w: int, tile_size: int, seg_capacity: int,
+        chunk: int, n_shards: int, radius_max: float = 50.0,
+        max_dup_per_axis: int = 0, large_capacity: int = 0,
+        exact_cull: bool = True) -> RingBinning:
+    """Origin binning on RANK-LOCAL rows (ring v2): `proj_local` holds the
+    Cs = C/n rows of global ranks [rank_base, rank_base + Cs) in rank order
+    (from `rank_reshard_rows`).  Emits the identical candidate multiset and
+    keys as `bin_gaussians_ring_origin` restricted to this range — key =
+    tile * C + GLOBAL rank — so segments, and therefore ring output, are
+    bit-identical to v1; only the per-Gaussian working set shrinks to Cs.
+
+    Returned gid-space fields (`seg_start_gid`, `counts_gid`, `order`) and
+    the stream's `flat_rank` are in LOCAL row space (rank - rank_base), the
+    coordinate system of the caller's [Cs, 16] attrs; dead-slot sentinel in
+    `rank_key` is Cs accordingly."""
+    Cs = proj_local.means2d.shape[0]
+    gtx = -(-full_w // tile_size)
+    gty = -(-full_h // tile_size)
+    total_tiles = gtx * gty
+    assert gty % n_shards == 0, "tile rows must divide into bands"
+    band_ty = gty // n_shards
+    ntb = band_ty * gtx
+    per_axis = _per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                               gtx, gty)
+    assert (total_tiles + 1) * C < 2 ** 31, (
+        "ring binning requires packed (tile*C + rank) int32 keys")
+    G = chunk
+    Q = ((seg_capacity + G - 1) // G) * G
+
+    tx0, ty0, sx, sy, ok, lost = _viewport_spans(
+        proj_local, full_h, full_w, tile_size, per_axis, 0, 0,
+        full_h, full_w)
+    ex = None
+    if exact_cull:
+        ex = (proj_local.means2d[:, 0], proj_local.means2d[:, 1],
+              proj_local.conic[:, 0], proj_local.conic[:, 1],
+              proj_local.conic[:, 2])
+        counts = _grid_counts(tx0, ty0, sx, sy, ex, per_axis, tile_size)
+    else:
+        counts = sx * sy
+    rank_arr = rank_base + jnp.arange(Cs, dtype=jnp.int32)
+
+    two_level, C_L, n_cand = _emission_plan(Cs, per_axis, gtx, total_tiles,
+                                            large_capacity)
+    if two_level:
+        cand_flat, drop_large = _emit_two_level(
+            tx0, ty0, sx, sy, ok, rank_arr, C, gtx, per_axis, C_L,
+            ex=ex, tile_size=tile_size, counts=counts)
+    else:
+        cand_flat = _emit_grid(tx0, ty0, jnp.where(ok, sx, 0),
+                               jnp.where(ok, sy, 0), rank_arr, C, gtx,
+                               per_axis, ex=ex,
+                               tile_size=tile_size).reshape(-1)
+        drop_large = jnp.int32(0)
+    s_local = jax.lax.sort(cand_flat)
+
+    # ---- fixed-capacity per-band segments (identical to v1) ----
+    bkeys = (jnp.arange(n_shards + 1, dtype=jnp.int32) * (ntb * C))
+    bounds = jnp.searchsorted(s_local, bkeys, side="left").astype(jnp.int32)
+    pad = jnp.full((Q,), _INT32_MAX, jnp.int32)
+    s_pad = jnp.concatenate([s_local, pad])
+    segs, drops, starts, counts_t = [], [], [], []
+    tid_hi = jnp.arange(1, ntb + 1, dtype=jnp.int32)
+    for b in range(n_shards):
+        seg = jax.lax.dynamic_slice(s_pad, (bounds[b],), (Q,))
+        idx = bounds[b] + jnp.arange(Q, dtype=jnp.int32)
+        seg = jnp.where(idx < bounds[b + 1], seg, _INT32_MAX)
+        segs.append(seg)
+        drops.append(jnp.maximum(bounds[b + 1] - bounds[b] - Q, 0))
+        end = jnp.searchsorted(
+            seg, (b * ntb + tid_hi) * C, side="left").astype(jnp.int32)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32), end[:-1]])
+        starts.append(start)
+        counts_t.append(end - start)
+    seg_keys = jnp.stack(segs)
+    live = seg_keys != _INT32_MAX
+    # LOCAL attr-row index per live slot (global rank - rank_base)
+    flat_rank = jnp.where(live, seg_keys % C - rank_base, 0).astype(jnp.int32)
+    live_flat = live.reshape(-1)
+    fr = flat_rank.reshape(-1)
+
+    K = fr.shape[0]
+    iota = jnp.arange(K, dtype=jnp.int32)
+    rank_key, rank_perm = jax.lax.sort(
+        (jnp.where(live_flat, fr, Cs), iota), num_keys=1)
+
+    # local rows ARE rank-ordered, so the rank-sorted stream's per-row
+    # segment starts are the exclusive cumsum of local counts
+    end_rank = _cumsum_blocked_last(counts)
+    seg_start_local = end_rank - counts
+    order_local = jnp.arange(Cs, dtype=jnp.int32)
+
+    n_live = live_flat.sum().astype(jnp.int32)
+    n_dropped = (jnp.stack(drops).sum() + lost.sum() + drop_large)
+    return RingBinning(flat_rank=fr, live=live_flat, rank_perm=rank_perm,
+                       rank_key=rank_key, order=order_local,
+                       seg_start_gid=seg_start_local, counts_gid=counts,
+                       n_live=n_live,
+                       tile_start=jnp.stack(starts),
+                       tile_count=jnp.stack(counts_t),
+                       n_dropped=n_dropped)
+
+
 def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
             counts_gid, num_tiles, n_dropped) -> Binning:
     """Per-tile ranges of the sorted (tile, rank) compact instance stream.

@@ -73,6 +73,13 @@ class RenderSettings:
     # Per-(band, rank-range) segment capacity of the ring stream; 0 derives
     # max_instances // n_shards (chunk-aligned).  Overflow drops counted.
     ring_capacity: int = struct.field(pytree_node=False, default=0)
+    # Ring v2 (ROADMAP item 6 follow-up): reshard the projected rows by
+    # depth-rank range before origin binning, so every per-Gaussian stage
+    # downstream of projection (emission grids, candidate sort, pack) works
+    # on ~C/n rows per device instead of C.  Output-identical to ring v1
+    # (same candidate multiset per origin, same keys); gradients flow back
+    # through the routing all_to_all's transpose.
+    ring_reshard: bool = struct.field(pytree_node=False, default=False)
 
 
 def render(gaussians: Gaussians, camera: Camera,

@@ -47,7 +47,7 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
                         gaussian_chunk: int = 256,
                         radius_max: float = 50.0, max_dup_per_axis: int = 0,
                         large_capacity: int = 0, exact_cull: bool = True,
-                        ring_capacity: int = 0,
+                        ring_capacity: int = 0, reshard: bool = False,
                         interpret=None) -> dict:
     """Render this device's image band (rows [i*band_h, (i+1)*band_h) of the
     full band_h*n x W image) via the ring schedule.  Must be called inside
@@ -68,13 +68,53 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
     i = jax.lax.axis_index(axis_name)
 
     # ---- origin: bin + pack MY rank range for all bands ----
-    rb = B.bin_gaussians_ring_origin(
-        proj, H, W, tile_size, Q, G, axis_name, n,
-        radius_max=radius_max, max_dup_per_axis=max_dup_per_axis,
-        large_capacity=large_capacity, exact_cull=exact_cull)
     per_axis = B._per_axis_bound(radius_max, tile_size, max_dup_per_axis,
                                  gtx, gty)
-    attrs = RP.instance_attrs(proj)            # global coordinates
+    if reshard:
+        # v2: route each projected row to its rank-range owner first, so
+        # emission/sort/pack below run on Cs = C/n rows (v1 restricts the
+        # full replicated set instead — O(C) per-Gaussian stages).  Same
+        # candidate keys (tile*C + GLOBAL rank) => bit-identical segments.
+        assert C % n == 0, "capacity must divide over the ring devices"
+        Cs = C // n
+        depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+        order = jax.lax.sort(
+            (depth_key, jnp.arange(C, dtype=jnp.int32)), num_keys=1)[1]
+        rank = B._inverse_permutation(order)               # [C] replicated
+        rank_local = jax.lax.dynamic_slice_in_dim(rank, i * Cs, Cs)
+
+        def loc(x):
+            return jax.lax.dynamic_slice_in_dim(x, i * Cs, Cs, axis=0)
+
+        zero = jnp.zeros((Cs,), jnp.float32)
+        ext_x = loc(proj.ext_x) if proj.ext_x is not None else zero
+        ext_y = loc(proj.ext_y) if proj.ext_y is not None else zero
+        mat = jnp.stack([
+            loc(proj.means2d)[:, 0], loc(proj.means2d)[:, 1],
+            loc(proj.conic)[:, 0], loc(proj.conic)[:, 1],
+            loc(proj.conic)[:, 2], loc(proj.depth), loc(proj.radius),
+            loc(proj.visible).astype(jnp.float32),
+            loc(proj.color)[:, 0], loc(proj.color)[:, 1],
+            loc(proj.color)[:, 2], loc(proj.opacity),
+            ext_x, ext_y, zero, zero], axis=1)             # [Cs, 16]
+        cmp = B.rank_reshard_rows(mat, rank_local, axis_name, n)
+        proj_r = Projected(
+            means2d=cmp[:, 0:2], conic=cmp[:, 2:5], depth=cmp[:, 5],
+            radius=cmp[:, 6], visible=cmp[:, 7] > 0.5,
+            color=cmp[:, 8:11], opacity=cmp[:, 11],
+            ext_x=cmp[:, 12] if proj.ext_x is not None else None,
+            ext_y=cmp[:, 13] if proj.ext_y is not None else None)
+        rb = B.bin_gaussians_ring_origin_resharded(
+            proj_r, i * Cs, C, H, W, tile_size, Q, G, n,
+            radius_max=radius_max, max_dup_per_axis=max_dup_per_axis,
+            large_capacity=large_capacity, exact_cull=exact_cull)
+        attrs = RP.instance_attrs(proj_r)                  # [Cs, 16] local
+    else:
+        rb = B.bin_gaussians_ring_origin(
+            proj, H, W, tile_size, Q, G, axis_name, n,
+            radius_max=radius_max, max_dup_per_axis=max_dup_per_axis,
+            large_capacity=large_capacity, exact_cull=exact_cull)
+        attrs = RP.instance_attrs(proj)                    # global [C, 16]
     inst = B.pack_instances(attrs, rb.flat_rank, rb.rank_perm, rb.rank_key,
                             rb.seg_start_gid, rb.counts_gid, rb.order,
                             rb.n_live, G, per_axis * per_axis)

@@ -97,7 +97,8 @@ def _render_band(g: Gaussians, camera: Camera, settings: RenderSettings,
             max_dup_per_axis=settings.max_dup_per_axis,
             large_capacity=settings.large_capacity,
             exact_cull=settings.exact_tile_cull,
-            ring_capacity=settings.ring_capacity)
+            ring_capacity=settings.ring_capacity,
+            reshard=settings.ring_reshard)
     if settings.use_pallas:
         from ..ops.raster_pallas import rasterize_tiles
         out = rasterize_tiles(proj, band_h, W, bg,

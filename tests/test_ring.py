@@ -166,6 +166,74 @@ def test_ring_with_gauss_sharded_state():
 
 
 @requires_8
+@pytest.mark.parametrize("aniso", [False, True])
+def test_ring_reshard_output_bitwise_matches_v1(aniso):
+    """Ring v2 (rank-resharded origin, binning.rank_reshard_rows +
+    bin_gaussians_ring_origin_resharded): every per-Gaussian stage runs on
+    C/n rows, but each origin emits the identical candidate multiset with
+    identical (tile*C + global rank) keys — so segments, kernel inputs, and
+    therefore the rendered band must be BIT-identical to ring v1."""
+    cam = identity_camera(64, 64, 70.0)
+    gs = rotated_scene(48) if aniso else random_scene(48, seed=3, spread=0.35)
+    mesh = make_mesh(data=1, tile=4)
+    st = _settings(cam, ring=True)
+    o1 = make_sharded_render(st, mesh)(gs, cam)
+    o2 = make_sharded_render(st.replace(ring_reshard=True), mesh)(gs, cam)
+    for k in ("image", "alpha", "depth"):
+        np.testing.assert_array_equal(np.asarray(o1[k]), np.asarray(o2[k]))
+
+
+@requires_8
+def test_ring_reshard_grads_match_v1():
+    """Cotangents must route back through the reshard all_to_all's
+    transpose and the scatter-free _take_rows VJP to the gid owners —
+    matching ring v1's gradients up to f32 association in the transpose
+    reductions (different summation grouping, same terms)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mini3dgs_tpu.parallel.sharded import _render_band
+
+    cam = identity_camera(64, 64, 70.0)
+    gs = random_scene(48, seed=3, spread=0.35)
+    mesh = make_mesh(data=1, tile=4)
+
+    def grads(st):
+        def f(params):
+            def loss(p):
+                g = gs.with_params(p)
+                row0 = jax.lax.axis_index("tile") * 16
+                out = _render_band(g, cam, st, 16, row0,
+                                   shard_axis="tile", n_shards=4)
+                return jax.lax.psum(
+                    jnp.square(out["image"]).sum()
+                    + 0.01 * out["depth"].sum(), "tile")
+            gr = jax.grad(loss)(params)
+            return jax.tree.map(
+                lambda x: jax.lax.pmean(x, ("data", "tile")), gr)
+        return jax.jit(shard_map(f, mesh=mesh, in_specs=(P(),),
+                                 out_specs=P(), check_vma=False))(gs.params())
+
+    st = _settings(cam, ring=True)
+    g1, g2 = grads(st), grads(st.replace(ring_reshard=True))
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        tol = 1e-5 * max(float(np.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=k)
+
+
+@requires_8
+def test_ring_reshard_overflow_finite():
+    """v2 under segment overflow: finite image, drops surfaced."""
+    cam = identity_camera(64, 64, 70.0)
+    gs = random_scene(64, seed=4)
+    mesh = make_mesh(data=1, tile=4)
+    st = _settings(cam, ring=True).replace(ring_capacity=32,
+                                           ring_reshard=True)
+    out = make_sharded_render(st, mesh)(gs, cam)
+    assert np.all(np.isfinite(np.asarray(out["image"])))
+
+
+@requires_8
 @pytest.mark.parametrize("ring", [False, True])
 def test_sharded_step_reports_render_drops(ring):
     """Both sharded routes must surface instance-stream overflow in the

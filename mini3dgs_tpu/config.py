@@ -112,6 +112,7 @@ class TrainingConfig:
     shard_gauss_state: bool = False  # shard model+Adam state over the gauss axis (per-device memory ~C/n)
     ring_exchange: bool = False      # ring exchange of depth-rank-range segments (parallel/ring.py)
     ring_capacity: int = 0           # per-(band, range) ring segment rows; 0 = max_instances / n
+    ring_reshard: bool = False       # ring v2: rank-reshard proj rows first (per-Gaussian stages at C/n)
     verify_sharding: bool = True     # setup-time sharded-gradient parity self-check under a mesh
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
@@ -168,6 +169,7 @@ _NESTED_MAP = {
     ("tpu", "mesh_tile"): "mesh_tile",
     ("tpu", "shard_gauss_state"): "shard_gauss_state",
     ("tpu", "ring_exchange"): "ring_exchange",
+    ("tpu", "ring_reshard"): "ring_reshard",
     ("tpu", "ring_capacity"): "ring_capacity",
     ("tpu", "verify_sharding"): "verify_sharding",
     ("tpu", "use_pallas"): "use_pallas",

@@ -288,6 +288,7 @@ class GaussianTrainer:
                 large_capacity=self.config.large_capacity,
                 ring=self.config.ring_exchange,
                 ring_capacity=self.config.ring_capacity,
+                ring_reshard=self.config.ring_reshard,
                 color_mode=self.config.color_mode,
                 antialias=self.config.antialias,
                 sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)

@@ -301,7 +301,13 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
 # program at their 100-step cadence.
 # ---------------------------------------------------------------------------
 
-GAUSS_AXES = ("data", "tile")
+# Gauss-shard flattening order: TILE-major, so a gather over "data" alone
+# yields a CONTIGUOUS global block per tile index — the gauss-sharded train
+# step gathers params over "data" first (every data slice must project all
+# rows under ITS OWN camera; cameras differ along the data axis) and the
+# projected stream over "tile" second, and this order makes the two-stage
+# concatenation reconstruct exact global slot order.
+GAUSS_AXES = ("tile", "data")
 
 
 def train_state_specs(state: TrainState, mesh: Mesh):
@@ -370,18 +376,34 @@ def make_gauss_sharded_train_step(config: TrainingConfig,
 
         def loss_fn(local_params, exposure, probe):
             g_local = state.gaussians.with_params(local_params)
-            proj_local = project_gaussians(g_local, camera, **kw)
-            # zero probe on the LOCAL shard's projected means: its gradient
-            # (reduce-scattered to owners like the param grads) is the
-            # viewspace densification statistic for this device's slots
-            proj_local = proj_local._replace(
-                means2d=proj_local.means2d + probe)
-            # ONE all_gather of the compact projected stream reassembles the
-            # full set in global slot order (d-major over (data, tile)); its
-            # transpose reduce-scatters grads back to slot owners.
+            # Projection must happen under THIS data slice's camera for
+            # EVERY row, so gather the param rows over "data" first (the
+            # previous single post-projection gather over both axes mixed
+            # rows projected under different cameras whenever the data
+            # batch carried distinct cameras — silently wrong images).
+            # With TILE-major GAUSS_AXES this is a contiguous global block;
+            # the transpose reduce-scatters param grads back to owners,
+            # summing each row's contribution over the camera batch.
+            gd = lambda x: jax.lax.all_gather(x, "data", axis=0, tiled=True)
+            g_slice = jax.tree.map(gd, g_local)
+            proj_slice = project_gaussians(g_slice, camera, **kw)
+            # zero probe on the data-gathered projected means: its gradient
+            # (routed back through the same transposes as the param grads)
+            # is the viewspace densification statistic for this device's
+            # slots, camera-batch averaged like the replicated DP path
+            proj_slice = proj_slice._replace(
+                means2d=proj_slice.means2d + gd(probe))
+            # gather the compact projected stream over "tile": together
+            # with the data-major inner order this reconstructs exact
+            # global slot order
             proj = jax.tree.map(
-                lambda x: jax.lax.all_gather(x, GAUSS_AXES, axis=0,
-                                             tiled=True), proj_local)
+                lambda x: jax.lax.all_gather(x, "tile", axis=0,
+                                             tiled=True), proj_slice)
+            # this owner's rows sit at data-index position inside the slice
+            di = jax.lax.axis_index("data")
+            C_dev = local_params["xyz"].shape[0]
+            own = lambda x: jax.lax.dynamic_slice_in_dim(
+                x, di * C_dev, C_dev, axis=0)
             row0 = jax.lax.axis_index("tile") * band_h
             out = _render_band(None, camera, settings, band_h, row0,
                                shard_axis="tile", n_shards=n_tile, proj=proj)
@@ -399,8 +421,9 @@ def make_gauss_sharded_train_step(config: TrainingConfig,
             parts = dict(parts)
             parts["render_drops"] = jax.lax.psum(
                 jnp.asarray(out.get("n_dropped", 0), jnp.float32), "tile")
-            return total, (parts, jax.lax.stop_gradient(proj_local.radius),
-                           jax.lax.stop_gradient(proj_local.visible))
+            return total, (parts,
+                           jax.lax.stop_gradient(own(proj_slice.radius)),
+                           jax.lax.stop_gradient(own(proj_slice.visible)))
 
         params = state.gaussians.params()  # local shard rows
         probe = jnp.zeros((state.gaussians.xyz.shape[0], 2), jnp.float32)

@@ -13,7 +13,7 @@ from mini3dgs_tpu.config import TrainingConfig
 from mini3dgs_tpu.core.camera import Camera
 from mini3dgs_tpu.ops.renderer import RenderSettings, render
 from mini3dgs_tpu.parallel.mesh import make_mesh
-from mini3dgs_tpu.parallel.sharded import (make_sharded_render,
+from mini3dgs_tpu.parallel.sharded import (GAUSS_AXES, make_sharded_render,
                                            make_sharded_train_step)
 from mini3dgs_tpu.train.trainer import create_train_state, make_train_step
 from tests.test_raster_pallas import random_scene, rotated_scene
@@ -371,8 +371,8 @@ def test_gauss_sharded_state_step_matches_replicated():
                                np.asarray(s_ref.gaussians.xyz_gradient_accum),
                                atol=1e-6, rtol=1e-4)
     # the updated state keeps its sharding (no silent replication)
-    assert s1.gaussians.xyz.sharding.spec == P(("data", "tile"))
-    assert s1.opt_state[0].mu["xyz"].sharding.spec == P(("data", "tile"))
+    assert s1.gaussians.xyz.sharding.spec == P(GAUSS_AXES)
+    assert s1.opt_state[0].mu["xyz"].sharding.spec == P(GAUSS_AXES)
 
     # densify on the sharded state: force split/clone candidates
     import math as _m
@@ -387,8 +387,48 @@ def test_gauss_sharded_state_step_matches_replicated():
     dstep = make_gauss_sharded_densify_step(cfg, mesh, s1)
     s2, stats = dstep(s1, jax.random.PRNGKey(0), jnp.float32(1.0))
     assert int(stats["n_split"]) == 4 and int(stats["n_clone"]) == 4
-    assert s2.gaussians.xyz.sharding.spec == P(("data", "tile"))
+    assert s2.gaussians.xyz.sharding.spec == P(GAUSS_AXES)
     assert int(s2.gaussians.num_alive()) == int(stats["n_alive"])
+
+
+@requires_8
+def test_gauss_sharded_step_distinct_cameras_matches_replicated():
+    """Regression: with DISTINCT cameras along the data axis (what
+    trainer.train() actually feeds), the gauss-sharded step must still
+    reproduce the replicated oracle.  The original single post-projection
+    all_gather over both mesh axes assembled a stream whose rows were
+    projected under DIFFERENT cameras (each gid shard under its owner's
+    camera) — silently wrong images/grads whenever data > 1; the step now
+    gathers param rows over "data" first so each data slice projects every
+    row under its own camera."""
+    from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
+                                               shard_train_state)
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=False)
+    gs = random_scene(40, seed=2, spread=0.35)
+    rng = np.random.default_rng(7)
+    cams = []
+    for fov in (70.0, 50.0):   # genuinely different projections
+        c = identity_camera(32, 32, fov)
+        cams.append(c.replace(image=jnp.asarray(
+            rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))))
+    batch = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+    mesh = make_mesh(data=2, tile=2)
+    settings = RenderSettings(image_height=32, image_width=32)
+
+    s_ref = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
+    s_ref, m_ref = make_sharded_train_step(cfg, settings, mesh)(s_ref, batch)
+
+    s0 = shard_train_state(create_train_state(jax.tree.map(jnp.copy, gs),
+                                              cfg), mesh)
+    s1, m1 = make_gauss_sharded_train_step(cfg, settings, mesh, s0)(s0, batch)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m_ref["total_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.gaussians.xyz),
+                               np.asarray(s_ref.gaussians.xyz), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.gaussians.xyz_gradient_accum),
+                               np.asarray(s_ref.gaussians.xyz_gradient_accum),
+                               atol=1e-6, rtol=1e-4)
 
 
 @requires_8
@@ -399,13 +439,13 @@ def test_trainer_with_gauss_sharded_state(tmp_path):
     from tests.test_trainer_integration import build_trainer
     trainer = build_trainer(tmp_path, iterations=6, mesh_data=2, mesh_tile=2,
                             shard_gauss_state=True)
-    assert trainer.state.gaussians.xyz.sharding.spec == P(("data", "tile"))
+    assert trainer.state.gaussians.xyz.sharding.spec == P(GAUSS_AXES)
     trainer.train(iterations=6)
     assert trainer.iteration == 6
     assert np.isfinite(trainer.train_losses[-1] if trainer.train_losses else 0.0)
     # state still sharded after steps + densify
-    assert trainer.state.gaussians.xyz.sharding.spec == P(("data", "tile"))
-    assert trainer.state.opt_state[0].mu["xyz"].sharding.spec == P(("data", "tile"))
+    assert trainer.state.gaussians.xyz.sharding.spec == P(GAUSS_AXES)
+    assert trainer.state.opt_state[0].mu["xyz"].sharding.spec == P(GAUSS_AXES)
 
 
 @requires_8
@@ -475,8 +515,8 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
 
     template = jax.tree.map(jnp.zeros_like, state)  # keeps shardings
     restored = load_checkpoint(str(tmp_path), 7, template)
-    assert restored.gaussians.xyz.sharding.spec == P(("data", "tile"))
-    assert restored.opt_state[0].mu["xyz"].sharding.spec == P(("data", "tile"))
+    assert restored.gaussians.xyz.sharding.spec == P(GAUSS_AXES)
+    assert restored.opt_state[0].mu["xyz"].sharding.spec == P(GAUSS_AXES)
     np.testing.assert_array_equal(np.asarray(restored.gaussians.xyz),
                                   np.asarray(state.gaussians.xyz))
     np.testing.assert_array_equal(np.asarray(restored.gaussians.alive),

@@ -113,6 +113,8 @@ class TrainingConfig:
     ring_exchange: bool = False      # ring exchange of depth-rank-range segments (parallel/ring.py)
     ring_capacity: int = 0           # per-(band, range) ring segment rows; 0 = max_instances / n
     ring_reshard: bool = False       # ring v2: rank-reshard proj rows first (per-Gaussian stages at C/n)
+    ring_local: bool = False         # ring v3 (gauss-sharded step): feed the ring the LOCAL gid block; O(C/n) activations
+    ring_reshard_capacity: int = 0   # v3 reshard bucket rows per destination; 0 = 4x uniform mean
     verify_sharding: bool = True     # setup-time sharded-gradient parity self-check under a mesh
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
@@ -170,6 +172,8 @@ _NESTED_MAP = {
     ("tpu", "shard_gauss_state"): "shard_gauss_state",
     ("tpu", "ring_exchange"): "ring_exchange",
     ("tpu", "ring_reshard"): "ring_reshard",
+    ("tpu", "ring_local"): "ring_local",
+    ("tpu", "ring_reshard_capacity"): "ring_reshard_capacity",
     ("tpu", "ring_capacity"): "ring_capacity",
     ("tpu", "verify_sharding"): "verify_sharding",
     ("tpu", "use_pallas"): "use_pallas",

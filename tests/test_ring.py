@@ -234,13 +234,15 @@ def test_ring_reshard_overflow_finite():
 
 
 @requires_8
-@pytest.mark.parametrize("ring", [False, True])
+@pytest.mark.parametrize("ring", [False, True, "reshard"])
 def test_sharded_step_reports_render_drops(ring):
-    """Both sharded routes must surface instance-stream overflow in the
-    step metrics (render_drops, psum'd over tile to the per-camera total)
-    exactly like the single-device step — overflow silently degrades
-    gradients, so it must never be silent (PERF.md round-3).  Healthy
-    capacity reports zero; an undersized stream reports > 0."""
+    """All sharded routes (one-shot, ring v1, ring v2) must surface
+    instance-stream overflow in the step metrics (render_drops, psum'd over
+    tile to the per-camera total) exactly like the single-device step —
+    overflow silently degrades gradients, so it must never be silent
+    (PERF.md round-3; the v2 case is ADVICE r3: its n_dropped counting was
+    never asserted).  Healthy capacity reports zero; an undersized stream
+    reports > 0."""
     cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
                          use_pallas=True, max_instances=2048,
                          gaussian_chunk=32)
@@ -253,7 +255,9 @@ def test_sharded_step_reports_render_drops(ring):
     cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
 
     healthy = RenderSettings(image_height=32, image_width=32, use_pallas=True,
-                             max_instances=2048, gaussian_chunk=32, ring=ring)
+                             max_instances=2048, gaussian_chunk=32,
+                             ring=bool(ring),
+                             ring_reshard=(ring == "reshard"))
     state = create_train_state(jax.tree.map(jnp.copy, gs), cfg)
     _, m = make_sharded_train_step(cfg, healthy, mesh)(state, cams)
     assert float(m["render_drops"]) == 0.0
@@ -344,3 +348,148 @@ def test_ring_grads_match_route_exactly_scaled():
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=5e-5,
                                    err_msg=f"grad {k}")
+
+
+# ---------------------------------------------------------------------------
+# Ring v3 (gid-sharded local projection, O(C/n) activations)
+# ---------------------------------------------------------------------------
+
+@requires_8
+@pytest.mark.parametrize("cap", ["ample", "exact_mean_x4"])
+def test_rank_reshard_compact_matches_dense(cap):
+    """binning.rank_reshard_rows_compact must reproduce the dense
+    rank_reshard_rows output (value AND gradient) whenever no bucket
+    overflows; its send buffer is [n, cap, R] instead of [n, Cs, R]."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mini3dgs_tpu.ops import binning as B
+
+    n, Cs, R = 8, 64, 16
+    C = n * Cs
+    rng = np.random.default_rng(5)
+    mat_all = jnp.asarray(rng.standard_normal((C, R)), jnp.float32)
+    # a permutation with nonuniform bucket loads (depth correlated with gid)
+    depth = rng.standard_normal(C) + np.arange(C) / C * 2.0
+    rank_all = jnp.asarray(np.argsort(np.argsort(depth)), jnp.int32)
+    mesh = make_mesh(data=1, tile=n)
+    cap_rows = Cs if cap == "ample" else 4 * (Cs // n)
+
+    def run(fn):
+        return jax.jit(shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(("data", "tile")), P(("data", "tile"))),
+            out_specs=P(("data", "tile")), check_vma=False))
+
+    dense = run(lambda m, r: B.rank_reshard_rows(m, r, "tile", n))(
+        mat_all.reshape(C, R), rank_all)
+    compact = run(lambda m, r: B.rank_reshard_rows_compact(
+        m, r, "tile", n, cap_rows)[0])(mat_all.reshape(C, R), rank_all)
+    if cap == "ample":
+        np.testing.assert_array_equal(np.asarray(compact), np.asarray(dense))
+    else:
+        # nonuniform loads may overflow the tight cap: rows either match
+        # dense or are exact zeros (dropped), never garbage
+        c, d = np.asarray(compact), np.asarray(dense)
+        mismatch = ~np.isclose(c, d).all(axis=1)
+        assert np.all(c[mismatch] == 0.0)
+
+    # gradient: sum-of-squares pullback must land on the gid owners
+    def gfn(fn):
+        def body(mat, rank):
+            def loss(m):
+                out = fn(m, rank)
+                return jax.lax.psum(jnp.square(out).sum(), "tile")
+            return jax.grad(loss)(mat)
+        return jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(("data", "tile")), P(("data", "tile"))),
+            out_specs=P(("data", "tile")), check_vma=False))
+
+    gd = gfn(lambda m, r: B.rank_reshard_rows(m, r, "tile", n))(
+        mat_all.reshape(C, R), rank_all)
+    gc = gfn(lambda m, r: B.rank_reshard_rows_compact(
+        m, r, "tile", n, cap_rows)[0])(mat_all.reshape(C, R), rank_all)
+    if cap == "ample":
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
+                                   rtol=1e-6, atol=1e-6)
+    else:
+        g1, g2 = np.asarray(gc), np.asarray(gd)
+        mismatch = ~np.isclose(g1, g2, rtol=1e-6, atol=1e-6).all(axis=1)
+        assert np.all(g1[mismatch] == 0.0)  # dropped rows: zero gradient
+
+
+@requires_8
+def test_ring_local_matches_gathered_routes():
+    """Ring v3 (gid-sharded local projection) through the gauss-sharded
+    train step must land the same loss and updated parameters as the
+    gathered ring (v1) — the projection rows reach the same rank owners
+    through the depth-key-only gather + compact reshard instead of a full
+    [C]-row all_gather."""
+    from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
+                                               shard_train_state)
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=True, max_instances=2048,
+                         gaussian_chunk=32, mesh_data=1, mesh_tile=2,
+                         shard_gauss_state=True)
+    gs = random_scene(40, seed=2, spread=0.35)
+    cam = identity_camera(32, 32, 70.0)
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=target)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+    base = RenderSettings(image_height=32, image_width=32, use_pallas=True,
+                          max_instances=2048, gaussian_chunk=32, ring=True)
+    mesh = make_mesh(data=1, tile=2)
+    results = {}
+    for mode in ("v1", "local"):
+        st = shard_train_state(
+            create_train_state(jax.tree.map(jnp.copy, gs), cfg), mesh)
+        settings = base.replace(ring_local=(mode == "local"),
+                                # ample buckets: nothing may drop
+                                ring_reshard_capacity=32)
+        step = make_gauss_sharded_train_step(cfg, settings, mesh, st)
+        st, m = step(st, cams)
+        results[mode] = (float(m["total_loss"]),
+                         np.asarray(st.gaussians.xyz),
+                         float(m["render_drops"]))
+    assert results["local"][2] == 0.0
+    np.testing.assert_allclose(results["local"][0], results["v1"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results["local"][1], results["v1"][1],
+                               atol=2e-5)
+
+
+@requires_8
+def test_ring_local_bucket_overflow_counted():
+    """v3 with an undersized reshard bucket must stay finite and surface
+    the dropped rows in render_drops (never silent degradation)."""
+    from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
+                                               shard_train_state)
+    cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
+                         use_pallas=True, max_instances=2048,
+                         gaussian_chunk=32, mesh_data=1, mesh_tile=2,
+                         shard_gauss_state=True)
+    # depth strongly correlated with gid order -> both gid blocks' rows
+    # land in ONE rank range each; cap 8 < Cs=32 must overflow
+    rng = np.random.default_rng(4)
+    xyz = np.concatenate([rng.uniform(-0.4, 0.4, (64, 2)),
+                          np.linspace(1.0, 3.0, 64)[:, None]], axis=1)
+    sig = np.full((64, 3), 0.08, np.float32)
+    col = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    op = np.full(64, 0.8, np.float32)
+    gs = make_gaussians(xyz.astype(np.float32), sig, col, op)
+    cam = identity_camera(32, 32, 70.0)
+    target = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    cam = cam.replace(image=target)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+    mesh = make_mesh(data=1, tile=2)
+    settings = RenderSettings(image_height=32, image_width=32,
+                              use_pallas=True, max_instances=2048,
+                              gaussian_chunk=32, ring=True, ring_local=True,
+                              ring_reshard_capacity=8)
+    st = shard_train_state(create_train_state(gs, cfg), mesh)
+    step = make_gauss_sharded_train_step(cfg, settings, mesh, st)
+    st, m = step(st, cams)
+    assert np.isfinite(float(m["total_loss"]))
+    assert float(m["render_drops"]) > 0.0
+    assert np.all(np.isfinite(np.asarray(st.gaussians.xyz)))

@@ -36,10 +36,56 @@ FOVX = 0.6911112070083618  # camera_angle_x of NeRF-synthetic lego
 
 
 # --------------------------------------------------------------------------
+# Texture-dense albedo variant (VERDICT r3 missing #2 / next #5): the base
+# scene's smooth Lambertian albedos optimize toward FEW, LARGE splats, so
+# the canonical densification hyperparameters (reference
+# gaussian_model.py:137,166 — split > 0.03*extent, clone < 0.01*extent —
+# and the 20px screen prune) were never load-tested.  These albedos are
+# piecewise-constant procedural textures with 5-15px cells at the bench
+# camera distance (scene spans ~350 px/unit at 800^2, lattice constants
+# 24-74 cells/unit), so reconstruction REQUIRES a dense population of small
+# splats — the regime those knobs were designed for.  `xp` is numpy or
+# jax.numpy: the renderer and the seed-point-cloud sampler share one
+# definition.
+# --------------------------------------------------------------------------
+
+TEX_PALETTES = [
+    ([0.90, 0.20, 0.15], [0.95, 0.85, 0.20]),   # torus: red/gold
+    ([0.10, 0.30, 0.85], [0.20, 0.90, 0.90]),   # sphere: blue/cyan
+    ([0.90, 0.45, 0.10], [0.30, 0.10, 0.50]),   # box: orange/purple
+    ([0.10, 0.70, 0.20], [0.95, 0.95, 0.90]),   # small sphere: green/white
+    ([0.85, 0.10, 0.50], [0.15, 0.15, 0.20]),   # small sphere: magenta/near-black
+    ([0.40, 0.25, 0.10], [0.90, 0.80, 0.60]),   # small torus: brown/sand
+]
+TEX_FREQS = [24.0, 30.0, 26.0, 40.0, 40.0, 34.0]
+
+
+def _hash_lattice(xp, p, scale):
+    """Per-lattice-cell uniform [0,1) value (piecewise constant — sharp
+    edges at every cell boundary, the texture's high-frequency content)."""
+    q = xp.floor(p * scale)
+    h = xp.sin(q[..., 0] * 12.9898 + q[..., 1] * 78.233
+               + q[..., 2] * 37.719) * 43758.5453
+    return h - xp.floor(h)
+
+
+def _tex_albedo(xp, p, ca, cb, freq):
+    """Two-color palette mixed by a fine 3D checker + two hash lattices."""
+    ca = xp.asarray(ca, xp.float32)
+    cb = xp.asarray(cb, xp.float32)
+    ch = (xp.floor(p[..., 0] * freq) + xp.floor(p[..., 1] * freq)
+          + xp.floor(p[..., 2] * freq)) % 2.0
+    m = 0.35 * ch + 0.45 * _hash_lattice(xp, p, freq * 1.7) \
+        + 0.20 * _hash_lattice(xp, p, freq * 3.1)
+    m = xp.clip(m, 0.0, 1.0)[..., None]
+    return ca * (1.0 - m) + cb * m
+
+
+# --------------------------------------------------------------------------
 # SDF scene (the hidden model)
 # --------------------------------------------------------------------------
 
-def _build_renderer(size: int, spp: int = 2):
+def _build_renderer(size: int, spp: int = 2, texture: bool = False):
     """Returns a jitted (R, T) -> RGBA renderer.  R: our C2W rotation
     (columns = camera basis, +z forward, y-down pixels), T: camera center."""
     import jax
@@ -88,20 +134,26 @@ def _build_renderer(size: int, spp: int = 2):
                                     p.shape[:-1] + (3,))
         return f
 
-    objects = [
-        (lambda p: sd_torus(p, jnp.array([0.0, -0.15, 0.0]), 0.75, 0.22),
-         albedo_torus),
-        (lambda p: sd_sphere(p, jnp.array([0.45, 0.38, -0.25]), 0.34),
-         albedo_sphere),
-        (lambda p: sd_box(p, jnp.array([-0.55, 0.25, 0.35]),
-                          jnp.array([0.22, 0.3, 0.2]), 0.05), albedo_box),
-        (lambda p: sd_sphere(p, jnp.array([-0.2, -0.1, -0.65]), 0.18),
-         albedo_const([0.9, 0.9, 0.25])),
-        (lambda p: sd_sphere(p, jnp.array([0.75, -0.35, 0.55]), 0.15),
-         albedo_const([0.35, 0.9, 0.5])),
-        (lambda p: sd_torus(p, jnp.array([0.05, 0.75, 0.3]), 0.3, 0.09),
-         albedo_const([0.55, 0.35, 0.95])),
+    sdfs = [
+        lambda p: sd_torus(p, jnp.array([0.0, -0.15, 0.0]), 0.75, 0.22),
+        lambda p: sd_sphere(p, jnp.array([0.45, 0.38, -0.25]), 0.34),
+        lambda p: sd_box(p, jnp.array([-0.55, 0.25, 0.35]),
+                         jnp.array([0.22, 0.3, 0.2]), 0.05),
+        lambda p: sd_sphere(p, jnp.array([-0.2, -0.1, -0.65]), 0.18),
+        lambda p: sd_sphere(p, jnp.array([0.75, -0.35, 0.55]), 0.15),
+        lambda p: sd_torus(p, jnp.array([0.05, 0.75, 0.3]), 0.3, 0.09),
     ]
+    if texture:
+        def make_tex(i):
+            ca, cb = TEX_PALETTES[i]
+            return lambda p: _tex_albedo(jnp, p, ca, cb, TEX_FREQS[i])
+        albedos = [make_tex(i) for i in range(6)]
+    else:
+        albedos = [albedo_torus, albedo_sphere, albedo_box,
+                   albedo_const([0.9, 0.9, 0.25]),
+                   albedo_const([0.35, 0.9, 0.5]),
+                   albedo_const([0.55, 0.35, 0.95])]
+    objects = list(zip(sdfs, albedos))
 
     def scene_sdf(p):
         ds = jnp.stack([o[0](p) for o in objects], axis=-1)  # [..., n_obj]
@@ -204,7 +256,8 @@ def to_blender_c2w(R: np.ndarray, T: np.ndarray) -> np.ndarray:
     return c2w
 
 
-def sample_surface_points(n: int = 30000, seed: int = 1):
+def sample_surface_points(n: int = 30000, seed: int = 1,
+                          texture: bool = False):
     """Analytic surface samples + shaded albedo colors (pure numpy) — the
     stand-in for the SfM/COLMAP seed points real scenes provide.  Written as
     `points3d.ply` which BlenderDataset.get_point_cloud prefers over random
@@ -253,17 +306,25 @@ def sample_surface_points(n: int = 30000, seed: int = 1):
         return np.stack([0.9 * np.ones_like(g), 0.75 * g + 0.15,
                          0.15 + 0.2 * g], axis=1)
 
-    parts = [
-        (torus([0.0, -0.15, 0.0], 0.75, 0.22, n * 4 // 10), alb_torus),
-        (sphere([0.45, 0.38, -0.25], 0.34, n * 2 // 10), alb_sphere),
-        (box([-0.55, 0.25, 0.35], [0.22, 0.3, 0.2], n * 2 // 10), alb_box),
-        (sphere([-0.2, -0.1, -0.65], 0.18, n // 20),
-         lambda p: np.tile([0.9, 0.9, 0.25], (len(p), 1))),
-        (sphere([0.75, -0.35, 0.55], 0.15, n // 20),
-         lambda p: np.tile([0.35, 0.9, 0.5], (len(p), 1))),
-        (torus([0.05, 0.75, 0.3], 0.3, 0.09, n // 10),
-         lambda p: np.tile([0.55, 0.35, 0.95], (len(p), 1))),
+    geoms = [
+        torus([0.0, -0.15, 0.0], 0.75, 0.22, n * 4 // 10),
+        sphere([0.45, 0.38, -0.25], 0.34, n * 2 // 10),
+        box([-0.55, 0.25, 0.35], [0.22, 0.3, 0.2], n * 2 // 10),
+        sphere([-0.2, -0.1, -0.65], 0.18, n // 20),
+        sphere([0.75, -0.35, 0.55], 0.15, n // 20),
+        torus([0.05, 0.75, 0.3], 0.3, 0.09, n // 10),
     ]
+    if texture:
+        def make_tex(i):
+            ca, cb = TEX_PALETTES[i]
+            return lambda p: _tex_albedo(np, p, ca, cb, TEX_FREQS[i])
+        albs = [make_tex(i) for i in range(6)]
+    else:
+        albs = [alb_torus, alb_sphere, alb_box,
+                lambda p: np.tile([0.9, 0.9, 0.25], (len(p), 1)),
+                lambda p: np.tile([0.35, 0.9, 0.5], (len(p), 1)),
+                lambda p: np.tile([0.55, 0.35, 0.95], (len(p), 1))]
+    parts = list(zip(geoms, albs))
     pts = np.concatenate([p for p, _ in parts]).astype(np.float32)
     cols = np.concatenate([a(p) for p, a in parts]).astype(np.float32)
     cols = np.clip(cols * 0.65, 0.0, 1.0)  # typical shading factor
@@ -283,13 +344,17 @@ def main(argv=None) -> int:
     ap.add_argument("--n-points", type=int, default=30000,
                     help="surface samples for the seed point cloud")
     ap.add_argument("--points-name", type=str, default="points3d.ply")
+    ap.add_argument("--texture", action="store_true",
+                    help="texture-dense albedos (5-15px procedural cells): "
+                         "the canonical-densification benchmark variant")
     args = ap.parse_args(argv)
 
     if args.points_only:
         from mini3dgs_tpu.utils.io import save_ply
         out = Path(args.out)
         out.mkdir(parents=True, exist_ok=True)
-        pts, cols = sample_surface_points(n=args.n_points)
+        pts, cols = sample_surface_points(n=args.n_points,
+                                          texture=args.texture)
         save_ply(pts, cols, str(out / args.points_name))
         print(f"wrote {len(pts)} surface points to {out/args.points_name}")
         return 0
@@ -300,7 +365,7 @@ def main(argv=None) -> int:
     (out / "train").mkdir(parents=True, exist_ok=True)
     (out / "test").mkdir(parents=True, exist_ok=True)
 
-    render = _build_renderer(args.size, args.spp)
+    render = _build_renderer(args.size, args.spp, texture=args.texture)
     rng = np.random.default_rng(0)
 
     def make_split(name, n, stratified):

@@ -116,6 +116,11 @@ class TrainingConfig:
     ring_local: bool = False         # ring v3 (gauss-sharded step): feed the ring the LOCAL gid block; O(C/n) activations
     ring_reshard_capacity: int = 0   # v3 reshard bucket rows per destination; 0 = 4x uniform mean
     verify_sharding: bool = True     # setup-time sharded-gradient parity self-check under a mesh
+    # K-step on-device training loop: 0 = auto (gcd of every event cadence,
+    # so densify/prune/reset/log/eval/save land on window boundaries),
+    # 1 = one host dispatch per step (the mesh paths always use 1).
+    # Amortizes the ~8 ms/step remote-dispatch tax ~K-fold.
+    steps_per_call: int = 0
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
 
@@ -176,6 +181,8 @@ _NESTED_MAP = {
     ("tpu", "ring_reshard_capacity"): "ring_reshard_capacity",
     ("tpu", "ring_capacity"): "ring_capacity",
     ("tpu", "verify_sharding"): "verify_sharding",
+    ("tpu", "steps_per_call"): "steps_per_call",
+    ("training", "steps_per_call"): "steps_per_call",
     ("tpu", "use_pallas"): "use_pallas",
 }
 

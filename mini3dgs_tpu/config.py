@@ -116,6 +116,10 @@ class TrainingConfig:
     ring_local: bool = False         # ring v3 (gauss-sharded step): feed the ring the LOCAL gid block; O(C/n) activations
     ring_reshard_capacity: int = 0   # v3 reshard bucket rows per destination; 0 = 4x uniform mean
     verify_sharding: bool = True     # setup-time sharded-gradient parity self-check under a mesh
+    # Automatic instance-stream sizing: the trainer grows max_instances 2x
+    # on overflow/near-full occupancy and halves it after sustained low
+    # occupancy (pack cost is linear in the static stream length).
+    auto_max_instances: bool = True
     # K-step on-device training loop: 0 = auto (gcd of every event cadence,
     # so densify/prune/reset/log/eval/save land on window boundaries),
     # 1 = one host dispatch per step (the mesh paths always use 1).
@@ -182,6 +186,7 @@ _NESTED_MAP = {
     ("tpu", "ring_capacity"): "ring_capacity",
     ("tpu", "verify_sharding"): "verify_sharding",
     ("tpu", "steps_per_call"): "steps_per_call",
+    ("tpu", "auto_max_instances"): "auto_max_instances",
     ("training", "steps_per_call"): "steps_per_call",
     ("tpu", "use_pallas"): "use_pallas",
 }

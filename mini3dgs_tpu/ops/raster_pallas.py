@@ -816,6 +816,10 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     depth = (D / (A + 1e-6))[None]
     # instances lost to stream-capacity overflow: nonzero means the render
     # (and its gradients) silently miss instances — observable so trainers
-    # can warn/log instead of degrading quietly (size max_instances up)
+    # can warn/log instead of degrading quietly (size max_instances up).
+    # n_live (the live stream occupancy) drives the trainer's automatic
+    # max_instances sizing: pack cost is linear in the STATIC stream
+    # length, so an oversized hand-set ceiling taxes every step.
     return {"image": image, "alpha": alpha, "depth": depth,
-            "n_dropped": jax.lax.stop_gradient(b.n_dropped)}
+            "n_dropped": jax.lax.stop_gradient(b.n_dropped),
+            "n_live": jax.lax.stop_gradient(b.n_live)}

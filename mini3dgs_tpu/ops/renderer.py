@@ -150,4 +150,7 @@ def render(gaussians: Gaussians, camera: Camera,
         # stream capacity); trainers surface it so undersized max_instances
         # cannot silently degrade gradients
         "n_dropped": out.get("n_dropped", jnp.int32(0)),
+        # live instance-stream occupancy (Pallas path; 0 on golden) — the
+        # trainer's auto max_instances sizing reads it
+        "n_live": out.get("n_live", jnp.int32(0)),
     }

@@ -195,10 +195,15 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
         acc = acc + out.at[:, 5:6, :].set(0.0)
         T = out[:, 5:6, :]
         if s + 1 < n:
-            # Drop the consumed entry; shift the rest one hop backward.  On
-            # hardware this exchange overlaps the next step's raster (XLA
-            # schedules the ppermute concurrently with compute that does
-            # not depend on it); hop s moves a (n-1-s)/n shrinking buffer.
+            # Drop the consumed entry; shift the rest one hop backward.
+            # Every hop's ppermute consumes only pre-placement buffers and
+            # earlier hops — never a raster output — so a latency-hiding
+            # scheduler is free to run the exchange under the raster
+            # (jaxpr-reachability proof: scripts/ring_hlo_evidence.py,
+            # DEPENDENCY PROOF PASS over all hops; the TPU -start/-done
+            # schedule itself needs a >=2-chip slice — same script dumps
+            # it when run there).  Hop s moves a (n-1-s)/n shrinking
+            # buffer.
             rb_inst = jax.lax.ppermute(rb_inst[1:], axis_name, perm)
             rb_ts = jax.lax.ppermute(rb_ts[1:], axis_name, perm)
             rb_tc = jax.lax.ppermute(rb_tc[1:], axis_name, perm)

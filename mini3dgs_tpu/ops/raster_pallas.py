@@ -63,6 +63,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# A/B toggle (scripts/ab_t0.py): force the single-pass path to build its
+# kernels WITH the t0 operand — the round-3 configuration — so the
+# t0-specialization delta is measurable inside one tunnel session
+# (VERDICT r3 next #2).  Never set outside that script.
+FORCE_T0 = False
+
+
 def _cumprod_last(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumulative product along the last axis via Hillis-Steele
     doubling (log2(n) VPU steps; static slices only, Mosaic-friendly)."""
@@ -785,7 +792,7 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     # single-pass specialization: t0 == ones folded at trace time (no t0
     # operand, no row-5 transmittance write-out, no dt0 output)
     op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K,
-                         0, 0, interpret, has_t0=False)
+                         0, 0, interpret, has_t0=FORCE_T0)
     # Per-Gaussian attribute matrix -> compact chunked instance stream via
     # the scatter-free custom-VJP gather (binning.pack_instances).  Stream
     # rows past n_live hold garbage copies but no tile's [start, start+count)
@@ -805,7 +812,11 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                             b.order, b.n_live, G,
                             per_axis * per_axis)   # [K//G, 16, G]
     tile_gid = jnp.arange(num_tiles, dtype=jnp.int32)
-    acc = op(inst, b.tile_start, b.tile_count, tile_gid)  # [T, 8, P]
+    if FORCE_T0:
+        t0 = jnp.ones((num_tiles, 1, tile_size * tile_size), jnp.float32)
+        acc = op(inst, b.tile_start, b.tile_count, tile_gid, t0)
+    else:
+        acc = op(inst, b.tile_start, b.tile_count, tile_gid)  # [T, 8, P]
 
     img = acc.reshape(tiles_y, tiles_x, N_ACC, tile_size, tile_size)
     img = img.transpose(2, 0, 3, 1, 4).reshape(

@@ -32,13 +32,18 @@ from bench import build, time_step
 import mini3dgs_tpu.ops.raster_pallas as RP
 
 
-def measure(force_t0: bool):
+def build_variant(force_t0: bool):
+    """Build AND trace (warm) one variant's chain while FORCE_T0 holds its
+    value — the flag is read at trace time, so warming here pins the
+    kernel configuration into the compiled executable.  One compile per
+    variant total; the timed reps below reuse the warmed chains."""
     RP.FORCE_T0 = force_t0
     RP._make_raster_op.cache_clear()
     chain = build(width=800, height=800, n=100_000, capacity=2 ** 17,
                   use_pallas=True, max_instances=1536 * 256)
-    dt = time_step(chain)
-    return dt
+    for iters in (2, 12):
+        float(chain(jnp.float32(0.5), iters))  # compile + warm NOW
+    return chain
 
 
 def main():
@@ -48,10 +53,17 @@ def main():
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", "A/B needs the real chip"
 
+    chains = {}
+    for force in (False, True):
+        t0c = time.perf_counter()
+        chains[force] = build_variant(force)
+        print(f"compiled has_t0={force} in {time.perf_counter()-t0c:.0f}s",
+              flush=True)
+
     results = {False: [], True: []}
     for r in range(args.reps):
         for force in (False, True):
-            dt = measure(force)
+            dt = time_step(chains[force], reps=1)
             results[force].append(dt)
             mp = 800 * 800 / dt / 1e6
             print(f"rep {r} has_t0={force}: {dt*1e3:.3f} ms/step "

@@ -84,9 +84,16 @@ class Binning(NamedTuple):
 # Packed-instance row layout (shared with the Pallas kernels):
 ROW_X, ROW_Y, ROW_QA, ROW_QB, ROW_QC, ROW_OP = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_DEPTH, ROW_ONE = 6, 7, 8, 9, 10
-N_ROWS = 16  # padded for clean sublane tiling; rows 11..15 unused
+N_ROWS = 16  # legacy wide stream: padded for sublane tiling; rows 11..15 unused
 GRAD_ROWS = 10  # rows 0..9 are differentiable caller data; ROW_ONE and up
 #                 are constants by the pack_instances contract (see _pack_bwd)
+# Packed-stream row count: only the GRAD_ROWS data rows ride the pack
+# gathers — ROW_ONE (constant 1) and the zero pads are synthesized inside
+# the raster kernels instead of being gathered and streamed (the pack
+# lane gathers are the step's largest non-floor cost and scale with row
+# count; 10/16 of the work for the same kernels).  The legacy 16-row
+# layout still works end to end (raster_pallas.WIDE_STREAM A/B toggle).
+STREAM_ROWS = GRAD_ROWS
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -1170,25 +1177,26 @@ def pack_instances(attrs: jnp.ndarray, s_rank: jnp.ndarray,
                    seg_start_gid: jnp.ndarray, counts_gid: jnp.ndarray,
                    order: jnp.ndarray, n_live: jnp.ndarray,
                    chunk: int, max_seg: int) -> jnp.ndarray:
-    """attrs [C, N_ROWS] per-Gaussian attributes -> inst [K//chunk, N_ROWS,
-    chunk] (the raster kernels' chunk-major stream).  `max_seg` is the
-    static per-Gaussian duplication bound (binning per_axis**2);
-    rank_perm/rank_key are Binning's precomputed rank-sorted stream
-    permutation (the backward's sort, hoisted to binning time)."""
+    """attrs [C, R] per-Gaussian attributes (R = STREAM_ROWS data rows, or
+    the legacy 16-row layout) -> inst [K//chunk, R, chunk] (the raster
+    kernels' chunk-major stream).  `max_seg` is the static per-Gaussian
+    duplication bound (binning per_axis**2); rank_perm/rank_key are
+    Binning's precomputed rank-sorted stream permutation (the backward's
+    sort, hoisted to binning time)."""
     return _pack_run(attrs, s_rank, order, chunk)
 
 
 def _pack_run(attrs, s_rank, order, G):
-    C = attrs.shape[0]
     K = s_rank.shape[0]
-    # All gathers LANE-DENSE along a [16, *] layout: a [K,16] row gather
+    R = attrs.shape[1]
+    # All gathers LANE-DENSE along a [R, *] layout: a [K,R] row gather
     # reads a ~4KB lane-padded tile per row, while lane gathers run at
-    # full bandwidth; this also deletes the [K,16] -> [16,K] transpose.
-    tab = jnp.take(attrs.T, order, axis=1)         # [16, C] depth order
-    compact = jnp.take(tab, s_rank, axis=1)        # [16, K]
-    # kernels index instances as [n_chunks, 16, G]: the dynamically-indexed
+    # full bandwidth; this also deletes the [K,R] -> [R,K] transpose.
+    tab = jnp.take(attrs.T, order, axis=1)         # [R, C] depth order
+    compact = jnp.take(tab, s_rank, axis=1)        # [R, K]
+    # kernels index instances as [n_chunks, R, G]: the dynamically-indexed
     # chunk dim must be the major (untiled) one for Mosaic
-    return compact.reshape(N_ROWS, K // G, G).transpose(1, 0, 2)
+    return compact.reshape(R, K // G, G).transpose(1, 0, 2)
 
 
 def _pack_fwd(attrs, s_rank, rank_perm, rank_key, seg_start_gid, counts_gid,
@@ -1211,6 +1219,7 @@ def _pack_bwd(chunk, max_seg, res, g):
     # full bandwidth).  Dead tail rows carry sentinel key C: they group at
     # the back, only combine with each other in the masked passes, and the
     # readout masks them.
+    R = g.shape[1]
     rows = jnp.stack([g[:, r, :].reshape(K) for r in range(GRAD_ROWS)])
     acc = jnp.take(rows, rank_perm, axis=1)        # [GRAD_ROWS, K]
     skey = rank_key
@@ -1231,9 +1240,9 @@ def _pack_bwd(chunk, max_seg, res, g):
     dT = jnp.take(acc, sidx, axis=1)               # [GRAD_ROWS, C] lane gather
     valid = (counts_gid > 0) & (seg_start_gid < n_live)
     dT = jnp.where(valid[None, :], dT, 0.0)
-    # rows GRAD_ROWS.. are constants at the caller: zero cotangent
-    d_attrs = jnp.concatenate(
-        [dT.T, jnp.zeros((C, N_ROWS - GRAD_ROWS), dT.dtype)], axis=1)
+    # rows GRAD_ROWS.. (if any) are constants at the caller: zero cotangent
+    d_attrs = (dT.T if R == GRAD_ROWS else jnp.concatenate(
+        [dT.T, jnp.zeros((C, R - GRAD_ROWS), dT.dtype)], axis=1))
     f0 = lambda shape: np.zeros(shape, jax_dtypes.float0)
     return (d_attrs, f0((K,)), f0((K,)), f0((K,)), f0((C,)), f0((C,)),
             f0((C,)), f0(()))

@@ -47,16 +47,22 @@ from . import binning as B
 from .projection import Projected
 from .raster_ref import EARLY_STOP_A, W_EPS
 
-N_ROWS = B.N_ROWS  # 16
+N_ROWS = B.N_ROWS  # 16 (legacy wide stream)
+STREAM_ROWS = B.STREAM_ROWS  # 10 data rows; constants synthesized in-kernel
 N_ACC = 8          # accumulator channels: r, g, b, depth, alpha, 3 pad
 
-# Rows of each instance chunk actually DMA'd from HBM (normally all 16).
+# Rows of each instance chunk actually DMA'd from HBM (normally all).
 # scripts/ablate_kernel.py sets 8 to measure the upper bound of ANY
 # stream-bandwidth optimization (e.g. a bf16 attribute substream): if
 # halving the streamed bytes does not move the step, the kernels' chunk
 # DMAs are fully overlapped with compute and byte-shrinking levers are
-# dead.  Numerically wrong when < 16 (stale scratch rows) — ablation only.
+# dead.  Numerically wrong when < rows (stale scratch rows) — ablation only.
 DMA_ROWS = N_ROWS
+
+# A/B toggle (pack-cost measurement): build the stream in the legacy
+# 16-row layout (ROW_ONE + zero pads gathered and streamed) instead of
+# the 10-row data-only layout.  Read at trace time.
+WIDE_STREAM = False
 
 
 def _interpret() -> bool:
@@ -268,8 +274,19 @@ def _chunk_alpha(ch, px, py, head, count, ci, G):
 
 # ======================== forward kernel ========================
 
+def _cmat_of(ch, rows, G):
+    """[8, G] accumulation matrix [r, g, b, depth, 1, 0, 0, 0].  The wide
+    legacy stream carries the constant rows; the 10-row stream synthesizes
+    them here instead of paying the pack gathers for constants."""
+    if rows >= B.ROW_R + N_ACC:
+        return ch[B.ROW_R:B.ROW_R + N_ACC, :]
+    return jnp.concatenate(
+        [ch[B.ROW_R:rows, :], jnp.ones((1, G), jnp.float32),
+         jnp.zeros((B.ROW_R + N_ACC - rows - 1, G), jnp.float32)], axis=0)
+
+
 def _fwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
-                *refs, tile_size, tiles_x, G, row0, col0, has_t0):
+                *refs, tile_size, tiles_x, G, row0, col0, has_t0, rows):
     # t0_ref [1,1,P]: per-pixel transmittance ENTERING this raster call.
     # Only the ring-exchange path (parallel/ring.py) feeds it — it chains the
     # previous depth-rank segment's output transmittance through it, so
@@ -293,14 +310,15 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
     n_chunks = jnp.where(count > 0, (head + count + G - 1) // G, 0)
 
     def dma(ci):
-        # inst_hbm is [K//G, 16, G]: dynamic index on the MAJOR dim only —
+        # inst_hbm is [K//G, rows, G]: dynamic index on the MAJOR dim only —
         # Mosaic requires dynamically-sliced dims to be untiled (the last two
         # dims carry the (8,128) tiling).  Slot ci%2 double-buffers.
         slot = jax.lax.rem(ci, 2)
         idx = jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)
+        nr = min(DMA_ROWS, rows)
         return pltpu.make_async_copy(
-            inst_hbm.at[idx, 0:DMA_ROWS],
-            chunk_ref.at[slot, 0:DMA_ROWS], sem.at[slot])
+            inst_hbm.at[idx, 0:nr],
+            chunk_ref.at[slot, 0:nr], sem.at[slot])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -320,7 +338,7 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
         T_before, T, _ = _transmittance(one_minus, T)
         gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
         contrib = T_before * m["alpha"] * gate     # [P, G]
-        cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
+        cmat = _cmat_of(ch, rows, G)               # [8, G]
         acc = acc + _acc_matmul(cmat, contrib)     # [8, P]
         return ci + 1, T, acc
 
@@ -352,7 +370,7 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
 
 def _bwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
                 gout_ref, oraw_ref, *refs, tile_size, tiles_x, G, row0,
-                col0, has_t0):
+                col0, has_t0, rows):
     # has_t0=False (single-pass path): t0 is the constant ones — no t0
     # operand, no dt0 output (see _fwd_kernel).
     if has_t0:
@@ -415,9 +433,10 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
     def dma(ci):
         slot = jax.lax.rem(ci, 2)
         idx = jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)
+        nr = min(DMA_ROWS, rows)
         return pltpu.make_async_copy(
-            inst_hbm.at[idx, 0:DMA_ROWS],
-            chunk_ref.at[slot, 0:DMA_ROWS], sem.at[slot])
+            inst_hbm.at[idx, 0:nr],
+            chunk_ref.at[slot, 0:nr], sem.at[slot])
 
     def wcopy_head(slot):
         return pltpu.make_async_copy(dchunk_ref.at[slot], dhead_hbm.at[t],
@@ -471,7 +490,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
         gate = ((1.0 - T_before) < EARLY_STOP_A).astype(jnp.float32)
         wgt = T_before * alpha * gate              # [P, G] contribution weights
 
-        cmat = ch[B.ROW_R:B.ROW_R + N_ACC, :]      # [8, G]
+        cmat = _cmat_of(ch, rows, G)               # [8, G]
         u = _u_matmul(gout, cmat)                  # [P, G]
         uw = u * wgt
         incl = _uw_prefix(uw) + prefix
@@ -522,8 +541,8 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
             d_qc_row,                              # ROW_QC
             d_op_row,                              # ROW_OP
             d_cmat[0:4, :],                        # ROW_R..ROW_DEPTH
-            jnp.zeros((N_ROWS - 10, G), jnp.float32),
-        ], axis=0)
+        ] + ([jnp.zeros((rows - 10, G), jnp.float32)] if rows > 10 else []),
+            axis=0)
         slot = jax.lax.rem(ci, 2)
         # reuse of this slot: its write from chunk ci-2 must have landed
         @pl.when(ci >= 2)
@@ -571,7 +590,7 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
 @functools.lru_cache(maxsize=64)
 def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                     K: int, row0: int, col0: int, interpret: bool,
-                    has_t0: bool = True):
+                    has_t0: bool = True, rows: int = N_ROWS):
     """has_t0=False builds the single-pass specialization: t0 == ones is
     folded at trace time, dropping the per-tile t0 VMEM block (fwd+bwd),
     the fwd row-5 transmittance write-out, and the bwd dt0 output; the
@@ -580,10 +599,10 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
     P = tile_size * tile_size
     kern_fwd = functools.partial(_fwd_kernel, tile_size=tile_size,
                                  tiles_x=tiles_x, G=G, row0=row0, col0=col0,
-                                 has_t0=has_t0)
+                                 has_t0=has_t0, rows=rows)
     kern_bwd = functools.partial(_bwd_kernel, tile_size=tile_size,
                                  tiles_x=tiles_x, G=G, row0=row0, col0=col0,
-                                 has_t0=has_t0)
+                                 has_t0=has_t0, rows=rows)
 
     t0_spec = [pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0),
                             memory_space=pltpu.VMEM)] if has_t0 else []
@@ -593,7 +612,7 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + t0_spec,
         out_specs=pl.BlockSpec((1, N_ACC, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, rows, G), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
 
@@ -629,8 +648,8 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
                   + ((pl.BlockSpec((1, 1, P), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),) if has_t0
                      else ()),
-        scratch_shapes=[pltpu.VMEM((2, N_ROWS, G), jnp.float32),
-                        pltpu.VMEM((2, N_ROWS, G), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, rows, G), jnp.float32),
+                        pltpu.VMEM((2, rows, G), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.SemaphoreType.DMA((2,))],
     )
@@ -640,11 +659,11 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
         # slots (early-exit-skipped chunks, stream-tail chunks, aligned/empty
         # head rows) then hold exact zeros with no in-kernel zero-fill and no
         # epilogue masking.  Alias indices count the scalar-prefetch operands.
-        zmain = jnp.zeros((K // G, N_ROWS, G), jnp.float32)
-        zhead = jnp.zeros((num_tiles, N_ROWS, G), jnp.float32)
+        zmain = jnp.zeros((K // G, rows, G), jnp.float32)
+        zhead = jnp.zeros((num_tiles, rows, G), jnp.float32)
         args = (tile_start, tile_count, tile_gid, inst, gout, oraw)
-        out_shapes = (jax.ShapeDtypeStruct((K // G, N_ROWS, G), jnp.float32),
-                      jax.ShapeDtypeStruct((num_tiles, N_ROWS, G),
+        out_shapes = (jax.ShapeDtypeStruct((K // G, rows, G), jnp.float32),
+                      jax.ShapeDtypeStruct((num_tiles, rows, G),
                                            jnp.float32))
         if has_t0:
             args += (t0,)
@@ -674,13 +693,13 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
         # Merge unaligned-head contributions: tile starts ascend, so
         # head_chunk is nondecreasing — a segment sum by prefix difference.
         head_chunk = tile_start // G                       # [num_tiles]
-        flat = d_head.reshape(num_tiles, N_ROWS * G)
+        flat = d_head.reshape(num_tiles, rows * G)
         csum = B._cumsum_blocked_last(flat.T).T            # [T, 16*G]
         csum = jnp.concatenate(
             [jnp.zeros((1, csum.shape[1]), csum.dtype), csum], axis=0)
         lo = jnp.searchsorted(head_chunk, cid, side="left").astype(jnp.int32)
         hi = jnp.searchsorted(head_chunk, cid, side="right").astype(jnp.int32)
-        merged = (csum[hi] - csum[lo]).reshape(NC, N_ROWS, G)
+        merged = (csum[hi] - csum[lo]).reshape(NC, rows, G)
         return d_main + merged
 
     if has_t0:
@@ -720,13 +739,19 @@ def _make_raster_op(num_tiles: int, tiles_x: int, tile_size: int, G: int,
     return raster_op
 
 
-def instance_attrs(proj: Projected, row0=0, col0=0) -> jnp.ndarray:
-    """[C, N_ROWS] per-Gaussian attribute matrix in the kernels' row layout
+def instance_attrs(proj: Projected, row0=0, col0=0,
+                   rows: int = None) -> jnp.ndarray:
+    """[C, rows] per-Gaussian attribute matrix in the kernels' row layout
     (binning.ROW_*), coordinates rebased to (row0, col0).  The conic rows
     are pre-scaled (qa,qc by -0.5, qb by -1) so the kernel's quadratic form
-    IS log w (see _chunk_alpha); the pack VJP chains the scale back."""
-    zeros = jnp.zeros_like(proj.depth)
-    return jnp.stack([
+    IS log w (see _chunk_alpha); the pack VJP chains the scale back.
+
+    Default rows = STREAM_ROWS (10): only the differentiable data rides the
+    pack gathers; the kernels synthesize ROW_ONE and the zero pads
+    (_cmat_of).  rows = N_ROWS builds the legacy wide layout."""
+    if rows is None:
+        rows = N_ROWS if WIDE_STREAM else STREAM_ROWS
+    data = [
         proj.means2d[:, 0] - jnp.float32(col0),    # ROW_X
         proj.means2d[:, 1] - jnp.float32(row0),    # ROW_Y
         -0.5 * proj.conic[:, 0],
@@ -735,8 +760,12 @@ def instance_attrs(proj: Projected, row0=0, col0=0) -> jnp.ndarray:
         proj.opacity,
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         proj.depth,
-        jnp.ones_like(proj.depth),                 # ROW_ONE (alpha channel)
-    ] + [zeros] * (N_ROWS - 11), axis=1)
+    ]
+    if rows > B.GRAD_ROWS:
+        zeros = jnp.zeros_like(proj.depth)
+        data = (data + [jnp.ones_like(proj.depth)]   # ROW_ONE
+                + [zeros] * (rows - 11))
+    return jnp.stack(data, axis=1)
 
 
 def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
@@ -789,16 +818,17 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     assert K % G == 0, "binning pads the stream to whole kernel chunks"
     # binning rebases instance coordinates to the band, so the kernel always
     # rasterizes at local origin.
-    # single-pass specialization: t0 == ones folded at trace time (no t0
-    # operand, no row-5 transmittance write-out, no dt0 output)
-    op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K,
-                         0, 0, interpret, has_t0=FORCE_T0)
     # Per-Gaussian attribute matrix -> compact chunked instance stream via
     # the scatter-free custom-VJP gather (binning.pack_instances).  Stream
     # rows past n_live hold garbage copies but no tile's [start, start+count)
     # window reaches them, and the raster backward hard-zeros their
     # gradient chunks before the pack backward runs.
-    attrs = instance_attrs(proj, row0, col0)       # [C, 16]
+    attrs = instance_attrs(proj, row0, col0)       # [C, rows]
+    # single-pass specialization: t0 == ones folded at trace time (no t0
+    # operand, no row-5 transmittance write-out, no dt0 output)
+    op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K,
+                         0, 0, interpret, has_t0=FORCE_T0,
+                         rows=attrs.shape[1])
     # static duplication bound = the binning path's per_axis**2 (pack bwd
     # sizes its masked doubling passes by it)
     if use_sharded:

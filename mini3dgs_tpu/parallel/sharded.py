@@ -273,6 +273,7 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
         out = _render_band(g, camera, settings, band_h, row0,
                            shard_axis="tile", n_shards=n_tile)
         out.pop("n_dropped", None)
+        out.pop("n_live", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
                  for k, v in out.items()}
         return {k: v.transpose(1, 0, 2, 3).reshape(v.shape[1], H, W)
@@ -552,6 +553,7 @@ def make_gauss_sharded_render(settings: RenderSettings, mesh: Mesh,
         out = _render_band(None, camera, settings, band_h, row0,
                            shard_axis="tile", n_shards=n_tile, proj=proj)
         out.pop("n_dropped", None)
+        out.pop("n_live", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
                  for k, v in out.items()}
         return {k: v.transpose(1, 0, 2, 3).reshape(v.shape[1], H, W)

@@ -32,12 +32,14 @@ from bench import build, time_step
 import mini3dgs_tpu.ops.raster_pallas as RP
 
 
-def build_variant(force_t0: bool):
-    """Build AND trace (warm) one variant's chain while FORCE_T0 holds its
-    value — the flag is read at trace time, so warming here pins the
+def build_variant(force_t0: bool, wide: bool):
+    """Build AND trace (warm) one variant's chain while the flags hold
+    their values — both are read at trace time, so warming here pins the
     kernel configuration into the compiled executable.  One compile per
-    variant total; the timed reps below reuse the warmed chains."""
+    variant total; the timed reps below reuse the warmed chains.
+    (force_t0=True, wide=True) is EXACTLY the round-3 configuration."""
     RP.FORCE_T0 = force_t0
+    RP.WIDE_STREAM = wide
     RP._make_raster_op.cache_clear()
     chain = build(width=800, height=800, n=100_000, capacity=2 ** 17,
                   use_pallas=True, max_instances=1536 * 256)
@@ -53,35 +55,43 @@ def main():
     args = ap.parse_args()
     assert jax.default_backend() == "tpu", "A/B needs the real chip"
 
+    variants = [  # (force_t0, wide) — (True, True) = round-3 config
+        (False, False),   # current: t0-specialized + 10-row stream
+        (True, False),    # t0 operand + 10-row stream
+        (False, True),    # t0-specialized + legacy 16-row stream
+        (True, True),     # ROUND-3 configuration
+    ]
     chains = {}
-    for force in (False, True):
+    for v in variants:
         t0c = time.perf_counter()
-        chains[force] = build_variant(force)
-        print(f"compiled has_t0={force} in {time.perf_counter()-t0c:.0f}s",
-              flush=True)
+        chains[v] = build_variant(*v)
+        print(f"compiled has_t0={v[0]} wide={v[1]} in "
+              f"{time.perf_counter()-t0c:.0f}s", flush=True)
 
-    results = {False: [], True: []}
+    results = {v: [] for v in variants}
     for r in range(args.reps):
-        for force in (False, True):
-            dt = time_step(chains[force], reps=1)
-            results[force].append(dt)
+        for v in variants:
+            dt = time_step(chains[v], reps=1)
+            results[v].append(dt)
             mp = 800 * 800 / dt / 1e6
-            print(f"rep {r} has_t0={force}: {dt*1e3:.3f} ms/step "
+            print(f"rep {r} has_t0={v[0]} wide={v[1]}: {dt*1e3:.3f} ms/step "
                   f"({mp:.2f} Mpix/s)", flush=True)
 
     import numpy as np
-    a = float(np.median(results[False]))
-    b = float(np.median(results[True]))
+    med = {v: float(np.median(results[v])) for v in variants}
+    spread = {v: (max(results[v]) - min(results[v])) * 1e3 for v in variants}
+    a = med[(False, False)]
     out = {
-        "specialized_ms": round(a * 1e3, 3),
-        "specialized_mpix_s": round(800 * 800 / a / 1e6, 3),
-        "round3_t0_ms": round(b * 1e3, 3),
-        "round3_t0_mpix_s": round(800 * 800 / b / 1e6, 3),
-        "delta_ms": round((b - a) * 1e3, 3),
-        "spread_specialized_ms": round(
-            (max(results[False]) - min(results[False])) * 1e3, 3),
-        "spread_t0_ms": round(
-            (max(results[True]) - min(results[True])) * 1e3, 3),
+        "current_ms": round(a * 1e3, 3),
+        "current_mpix_s": round(800 * 800 / a / 1e6, 3),
+        "t0_only_ms": round(med[(True, False)] * 1e3, 3),
+        "wide_only_ms": round(med[(False, True)] * 1e3, 3),
+        "round3_ms": round(med[(True, True)] * 1e3, 3),
+        "round3_mpix_s": round(800 * 800 / med[(True, True)] / 1e6, 3),
+        "t0_delta_ms": round((med[(True, False)] - a) * 1e3, 3),
+        "rows_delta_ms": round((med[(False, True)] - a) * 1e3, 3),
+        "total_delta_ms": round((med[(True, True)] - a) * 1e3, 3),
+        "max_spread_ms": round(max(spread.values()), 3),
     }
     print(json.dumps(out), flush=True)
 

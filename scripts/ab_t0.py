@@ -97,6 +97,7 @@ def main():
 
     if args.golden:
         RP.FORCE_T0 = False
+        RP.WIDE_STREAM = False
         RP._make_raster_op.cache_clear()
         g_chain = build(width=800, height=800, n=100_000, capacity=2 ** 17,
                         use_pallas=False, golden_pixel_block=16384)

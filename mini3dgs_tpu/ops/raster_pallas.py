@@ -316,6 +316,12 @@ def _fwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
         slot = jax.lax.rem(ci, 2)
         idx = jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)
         nr = min(DMA_ROWS, rows)
+        if nr == rows:
+            # full-block copy: Mosaic requires sublane-dim slices to be
+            # 8-aligned (a 0:10 slice fails to compile on chip), and the
+            # full [rows, G] block needs no dim-1 slice at all
+            return pltpu.make_async_copy(
+                inst_hbm.at[idx], chunk_ref.at[slot], sem.at[slot])
         return pltpu.make_async_copy(
             inst_hbm.at[idx, 0:nr],
             chunk_ref.at[slot, 0:nr], sem.at[slot])
@@ -434,6 +440,12 @@ def _bwd_kernel(tile_start_ref, tile_count_ref, tile_gid_ref, inst_hbm,
         slot = jax.lax.rem(ci, 2)
         idx = jnp.minimum(chunk0 + ci, inst_hbm.shape[0] - 1)
         nr = min(DMA_ROWS, rows)
+        if nr == rows:
+            # full-block copy: Mosaic requires sublane-dim slices to be
+            # 8-aligned (a 0:10 slice fails to compile on chip), and the
+            # full [rows, G] block needs no dim-1 slice at all
+            return pltpu.make_async_copy(
+                inst_hbm.at[idx], chunk_ref.at[slot], sem.at[slot])
         return pltpu.make_async_copy(
             inst_hbm.at[idx, 0:nr],
             chunk_ref.at[slot, 0:nr], sem.at[slot])

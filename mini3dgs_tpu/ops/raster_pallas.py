@@ -780,6 +780,23 @@ def instance_attrs(proj: Projected, row0=0, col0=0,
     return jnp.stack(data, axis=1)
 
 
+def _widen_stream(inst: jnp.ndarray) -> jnp.ndarray:
+    """[NC, GRAD_ROWS, G] packed data stream -> [NC, N_ROWS, G] kernel
+    stream: append ROW_ONE (constant 1) and the zero pad rows as one cheap
+    broadcast-concat instead of gathering them per instance (the pack lane
+    gathers are the step's largest non-floor cost and scale with row
+    count — 10/16 of the work; concat's autodiff slices the cotangent
+    straight back to the data rows).  The HBM stream keeps the 16-row
+    sublane-aligned layout Mosaic's DMA slicing requires (a [*,10,*]
+    window is not 8-aligned and fails to compile on chip)."""
+    NC, R, G = inst.shape
+    if R >= N_ROWS:
+        return inst
+    return jnp.concatenate(
+        [inst, jnp.ones((NC, 1, G), inst.dtype),
+         jnp.zeros((NC, N_ROWS - R - 1, G), inst.dtype)], axis=1)
+
+
 def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
                     tile_size: int = 16, max_instances: int = 2 ** 18,
                     gaussian_chunk: int = 256, row0=0, col0=0,
@@ -839,8 +856,7 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     # single-pass specialization: t0 == ones folded at trace time (no t0
     # operand, no row-5 transmittance write-out, no dt0 output)
     op = _make_raster_op(num_tiles, tiles_x, tile_size, G, K,
-                         0, 0, interpret, has_t0=FORCE_T0,
-                         rows=attrs.shape[1])
+                         0, 0, interpret, has_t0=FORCE_T0)
     # static duplication bound = the binning path's per_axis**2 (pack bwd
     # sizes its masked doubling passes by it)
     if use_sharded:
@@ -849,10 +865,11 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     else:
         per_axis = B._per_axis_bound(radius_max, tile_size, max_dup_per_axis,
                                      tiles_x, tiles_y)
-    inst = B.pack_instances(attrs, b.s_rank, b.rank_perm, b.rank_key,
-                            b.seg_start_gid, b.counts_gid,
-                            b.order, b.n_live, G,
-                            per_axis * per_axis)   # [K//G, 16, G]
+    inst = _widen_stream(
+        B.pack_instances(attrs, b.s_rank, b.rank_perm, b.rank_key,
+                         b.seg_start_gid, b.counts_gid,
+                         b.order, b.n_live, G,
+                         per_axis * per_axis))     # [K//G, 16, G]
     tile_gid = jnp.arange(num_tiles, dtype=jnp.int32)
     if FORCE_T0:
         t0 = jnp.ones((num_tiles, 1, tile_size * tile_size), jnp.float32)

@@ -165,11 +165,11 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
             radius_max=radius_max, max_dup_per_axis=max_dup_per_axis,
             large_capacity=large_capacity, exact_cull=exact_cull)
         attrs = RP.instance_attrs(proj)                    # global [C, 16]
-    n_rows = attrs.shape[1]
-    inst = B.pack_instances(attrs, rb.flat_rank, rb.rank_perm, rb.rank_key,
-                            rb.seg_start_gid, rb.counts_gid, rb.order,
-                            rb.n_live, G, per_axis * per_axis)
-    inst = inst.reshape(n, Q // G, n_rows, G)
+    inst = RP._widen_stream(
+        B.pack_instances(attrs, rb.flat_rank, rb.rank_perm, rb.rank_key,
+                         rb.seg_start_gid, rb.counts_gid, rb.order,
+                         rb.n_live, G, per_axis * per_axis))
+    inst = inst.reshape(n, Q // G, RP.N_ROWS, G)
 
     # ---- pre-placement: segment b -> device (b + i) mod n ----
     src = (jnp.arange(n, dtype=jnp.int32) - i) % n   # send[d] = seg[(d-i)%n]
@@ -185,8 +185,7 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
     # backward shifts, entry s is (band j, range s) — the ring invariant.
 
     # ---- ring steps: raster entry s with carried T, shift the rest ----
-    op = RP._make_raster_op(ntb, gtx, tile_size, G, Q, 0, 0, interpret,
-                            rows=n_rows)
+    op = RP._make_raster_op(ntb, gtx, tile_size, G, Q, 0, 0, interpret)
     tile_gid = i * ntb + jnp.arange(ntb, dtype=jnp.int32)  # global tile ids
     perm = [(j, (j - 1) % n) for j in range(n)]
     T = jnp.ones((ntb, 1, P), jnp.float32)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# Full-size golden baseline, measured on this chip (PERF.md v17): the
+# Full-size golden baseline, measured on this chip (PERF.md v17, RE-MEASURED
+# round-4 under the current kernels: 26.878 s — the constant is stable): the
 # reference-semantics golden-XLA step at the headline 800^2/100K size takes
 # 26.88 s/step (remat'd chunked autodiff, golden_pixel_block=16384; one-shot
 # timing — slope irrelevant at that magnitude).  Carried as a constant so the

@@ -221,7 +221,9 @@ def test_k_step_loop_matches_single_step(tmp_path):
     t_single.train(iterations=30)
     t_loop.train(iterations=30)
     assert t_loop.iteration == t_single.iteration == 30
-    assert len(t_loop._train_loops) >= 1  # the loop path actually ran
+    # the loop path actually ran (_cams_device is staged on the first
+    # window and survives the capacity-growth cache clears)
+    assert t_loop._cams_device is not None
     a = np.asarray(t_single.state.gaussians.xyz)
     b = np.asarray(t_loop.state.gaussians.xyz)
     np.testing.assert_allclose(b, a, atol=5e-5)
@@ -239,7 +241,7 @@ def test_k_step_loop_unaligned_resume(tmp_path):
     assert t.iteration == 3    # ran as single steps
     t.train(iterations=12)     # 3 -> 15: singles to 5, windows 5-15
     assert t.iteration == 15
-    assert len(t._train_loops) >= 1
+    assert t._cams_device is not None
     assert np.isfinite(t.train_losses[-1])
 
 
@@ -291,3 +293,18 @@ def test_auto_stream_sizing_off(tmp_path):
     t = _pallas_trainer(tmp_path, max_instances=64, auto_max_instances=False)
     t.train(iterations=20)
     assert t.settings.max_instances == 64
+
+
+def test_k_step_loop_with_exposure(tmp_path):
+    """The K-loop's per-step cam_idx selection must drive the per-camera
+    exposure path identically to single-step dispatch."""
+    a = build_trainer(tmp_path / "a", iterations=20, steps_per_call=1,
+                      use_exposure=True)
+    b = build_trainer(tmp_path / "b", iterations=20, use_exposure=True)
+    a.train(iterations=20)
+    b.train(iterations=20)
+    assert b._cams_device is not None  # loop path ran
+    np.testing.assert_allclose(np.asarray(b.state.exposure),
+                               np.asarray(a.state.exposure), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.state.gaussians.xyz),
+                               np.asarray(a.state.gaussians.xyz), atol=5e-5)

@@ -123,8 +123,11 @@ class TrainingConfig:
     # K-step on-device training loop: 0 = auto (gcd of every event cadence,
     # so densify/prune/reset/log/eval/save land on window boundaries),
     # 1 = one host dispatch per step (the mesh paths always use 1).
-    # Amortizes the ~8 ms/step remote-dispatch tax ~K-fold.
-    steps_per_call: int = 0
+    # DEFAULT 1: measured on chip (PERF.md round-4), the fori_loop body
+    # runs ~1.4x slower per step than separate dispatches at bench scale
+    # (the amortized ~10 ms dispatch does not pay for the loop-body
+    # slowdown); opt in with 0 on runtimes where dispatch dominates.
+    steps_per_call: int = 1
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
 

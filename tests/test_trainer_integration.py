@@ -216,7 +216,7 @@ def test_k_step_loop_matches_single_step(tmp_path):
     key stream, events only at window boundaries — so parameters after N
     iterations agree to jit-boundary f32 tolerance."""
     t_single = build_trainer(tmp_path / "a", iterations=30, steps_per_call=1)
-    t_loop = build_trainer(tmp_path / "b", iterations=30)
+    t_loop = build_trainer(tmp_path / "b", iterations=30, steps_per_call=0)
     assert t_loop._loop_K() == 5  # gcd of the build_trainer cadences
     t_single.train(iterations=30)
     t_loop.train(iterations=30)
@@ -236,7 +236,7 @@ def test_k_step_loop_matches_single_step(tmp_path):
 def test_k_step_loop_unaligned_resume(tmp_path):
     """Resuming at an iteration that is not a window multiple must
     single-step until aligned, then re-enter the loop path."""
-    t = build_trainer(tmp_path, iterations=30)
+    t = build_trainer(tmp_path, iterations=30, steps_per_call=0)
     t.train(iterations=3)      # 0 -> 3: only full windows fit? 3 < K=5
     assert t.iteration == 3    # ran as single steps
     t.train(iterations=12)     # 3 -> 15: singles to 5, windows 5-15
@@ -300,7 +300,8 @@ def test_k_step_loop_with_exposure(tmp_path):
     exposure path identically to single-step dispatch."""
     a = build_trainer(tmp_path / "a", iterations=20, steps_per_call=1,
                       use_exposure=True)
-    b = build_trainer(tmp_path / "b", iterations=20, use_exposure=True)
+    b = build_trainer(tmp_path / "b", iterations=20, use_exposure=True,
+                      steps_per_call=0)
     a.train(iterations=20)
     b.train(iterations=20)
     assert b._cams_device is not None  # loop path ran

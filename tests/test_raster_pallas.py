@@ -429,3 +429,36 @@ def test_exact_tile_cull_prunes_and_matches_golden():
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=1e-3,
                                    err_msg=f)
+
+
+def test_wide_stream_toggle_bitwise():
+    """The legacy 16-row gathered stream (WIDE_STREAM, the ab_t0 A/B
+    toggle) and the default 10-row-gather + broadcast-concat widening must
+    produce BITWISE identical images and gradients — same kernel, same
+    values in every stream row, only the pack work differs."""
+    import mini3dgs_tpu.ops.raster_pallas as RP
+    cam = identity_camera(64, 64)
+    gs = rotated_scene(48)
+    target = jnp.linspace(0, 1, 3 * 64 * 64).reshape(3, 64, 64)
+    st = RenderSettings(image_height=64, image_width=64, use_pallas=True,
+                        max_instances=8192, gaussian_chunk=32)
+
+    def run():
+        def loss(p):
+            out = render(gs.with_params(p), cam, st)
+            return jnp.abs(out["image"] - target).mean(), out["image"]
+        (l, img), g = jax.value_and_grad(loss, has_aux=True)(gs.params())
+        return np.asarray(img), {k: np.asarray(v) for k, v in g.items()}
+
+    try:
+        RP.WIDE_STREAM = False
+        img_a, g_a = run()
+        RP.WIDE_STREAM = True
+        RP._make_raster_op.cache_clear()
+        img_b, g_b = run()
+    finally:
+        RP.WIDE_STREAM = False
+        RP._make_raster_op.cache_clear()
+    np.testing.assert_array_equal(img_a, img_b)
+    for k in g_a:
+        np.testing.assert_array_equal(g_a[k], g_b[k], err_msg=k)

@@ -528,6 +528,9 @@ class GaussianTrainer:
               and max(self._occupancy_hist) < 0.35 and k // 2 >= floor):
             new_k = k // 2
         if new_k != k:
+            print(f"[auto_max_instances] {k} -> {new_k} "
+                  f"(occupancy {inst/k:.2f}, drops {drops:.0f}; "
+                  f"rebuilding jitted steps)", flush=True)
             self.settings = self.settings.replace(max_instances=new_k)
             self._train_steps = {}
             self._train_loops = {}

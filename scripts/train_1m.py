@@ -81,9 +81,17 @@ def main(argv=None) -> int:
     jax.block_until_ready(tr.state.gaussians.xyz)
     dt = time.perf_counter() - t0
     its = (args.iters - 1) / dt
-    print(f"steady-state: {dt:.1f}s for {args.iters - 1} it "
-          f"-> {its:.2f} it/s ({1e3 / its:.1f} ms/it incl. dispatch)",
-          flush=True)
+    print(f"window 1: {dt:.1f}s for {args.iters - 1} it "
+          f"-> {its:.2f} it/s ({1e3 / its:.1f} ms/it incl. dispatch; may "
+          f"include auto_max_instances resize recompiles)", flush=True)
+    # steady-state window AFTER any auto-resize recompiles have settled
+    t1 = time.perf_counter()
+    tr.train(iterations=200, log_fn=None)
+    jax.block_until_ready(tr.state.gaussians.xyz)
+    dt1 = time.perf_counter() - t1
+    print(f"steady-state: {dt1:.1f}s for 200 it -> {200 / dt1:.2f} it/s "
+          f"({dt1 * 5:.1f} ms/it incl. dispatch; "
+          f"max_instances={tr.settings.max_instances})", flush=True)
 
     try:
         stats = jax.local_devices()[0].memory_stats() or {}

@@ -34,15 +34,44 @@ import numpy as np
 FULL_GOLDEN_S = 26.88
 
 
+def make_chain(g, cam, settings, target):
+    """Steady-state training-loop measurement: `iters` chained grad steps
+    under ONE jit, each with a distinct perturbed input (the axon runtime
+    dedupes identical executions) and a scalar data dependency between
+    iterations (so steps execute serially on-device).  This measures the
+    device step rate a resident training loop sees, excluding per-dispatch
+    host/tunnel latency — the same slope methodology as scripts/profile_*."""
+    from functools import partial
+
+    from mini3dgs_tpu.ops.renderer import render
+
+    params0 = g.params()
+
+    def loss_fn(params):
+        out = render(g.with_params(params), cam, settings)
+        return jnp.abs(out["image"] - target).mean()
+
+    grad_fn = jax.grad(loss_fn)
+
+    @partial(jax.jit, static_argnames="iters")
+    def chain(s, iters):
+        def body(i, c):
+            p = {**params0, "xyz": params0["xyz"] * (1.0 + c * 1e-9)}
+            d = grad_fn(p)
+            return jnp.sum(d["xyz"]) * 1e-12 + c + 1e-6 * i
+
+        return jax.lax.fori_loop(0, iters, body, s)
+
+    return chain
+
+
 def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
           use_pallas=True, max_instances=1536 * 256,
           golden_pixel_block=65536, golden_chunk=512, aniso=False):
-    from functools import partial
-
     import numpy as np_
 
     from __graft_entry__ import _scene
-    from mini3dgs_tpu.ops.renderer import RenderSettings, render
+    from mini3dgs_tpu.ops.renderer import RenderSettings
 
     g, cam = _scene(capacity=capacity, n=n, width=width, height=height,
                     seed=seed)
@@ -70,35 +99,64 @@ def build(width=800, height=800, n=100_000, capacity=2 ** 17, seed=0,
                               gaussian_chunk=256,
                               max_dup_per_axis=3)
     target = jnp.zeros((3, height, width), jnp.float32)
-    params0 = g.params()
+    return make_chain(g, cam, settings, target)
 
-    def loss_fn(params):
-        out = render(g.with_params(params), cam, settings)
-        return jnp.abs(out["image"] - target).mean()
 
-    grad_fn = jax.grad(loss_fn)
+def build_trained(config_yaml="configs/sdf_tex_30k.yaml"):
+    """Trained-population bench (VERDICT r4 next #2): the synthetic headline
+    scene is radius-homogeneous; a trained checkpoint (168K+ splats, real
+    anisotropy, real tile imbalance from densification) is the regime the
+    framework exists for — the reference's only implied workload IS a
+    trained scene (`/root/reference/config/config.py:41-64`).
 
-    # Steady-state training-loop measurement: `iters` chained grad steps
-    # under ONE jit, each with a distinct perturbed input (the axon runtime
-    # dedupes identical executions) and a scalar data dependency between
-    # iterations (so steps execute serially on-device).  This measures the
-    # device step rate a resident training loop sees, excluding per-dispatch
-    # host/tunnel latency — the same slope methodology as scripts/profile_*.
-    @partial(jax.jit, static_argnames="iters")
-    def chain(s, iters):
-        def body(i, c):
-            p = {**params0, "xyz": params0["xyz"] * (1.0 + c * 1e-9)}
-            d = grad_fn(p)
-            return jnp.sum(d["xyz"]) * 1e-12 + c + 1e-6 * i
+    Loads the latest tex-scene checkpoint through the real trainer path,
+    auto-sizes the instance stream from one probe render (observed
+    occupancy + ~25% headroom, the auto_max_instances policy applied
+    statically), and returns (chain, info)."""
+    import dataclasses
 
-        return jax.lax.fori_loop(0, iters, body, s)
+    from mini3dgs_tpu.config import ConfigManager
+    from mini3dgs_tpu.ops.renderer import render
+    from mini3dgs_tpu.train.checkpoint import latest_checkpoint_iteration
+    from mini3dgs_tpu.train.trainer import GaussianTrainer
 
-    return chain
+    config = ConfigManager.load_from_yaml(config_yaml)
+    it = latest_checkpoint_iteration(config.output_path)
+    if it is None:
+        return None, {"error": f"no checkpoint under {config.output_path}"}
+    config = dataclasses.replace(config, verify_sharding=False)
+    trainer = GaussianTrainer(config)
+    trainer.setup()
+    trainer.load_checkpoint(it)
+    g = trainer.state.gaussians
+    cam = trainer.dataset.get_train_cameras()[0].replace(uid=0,
+                                                         image_name="")
+    target = cam.image
+    settings = trainer.settings.replace(sh_degree=trainer.active_sh_degree())
+    # probe occupancy at the training-run stream size, then size the bench
+    # stream to the observed instance count (chunk-rounded, 25% headroom)
+    probe = jax.jit(lambda gg, cc: render(gg, cc, settings)["n_live"])
+    n_live = int(probe(g, cam))
+    G = settings.gaussian_chunk
+    k = ((int(n_live * 1.25) + G - 1) // G) * G
+    settings = settings.replace(max_instances=k)
+    n_dropped = int(jax.jit(
+        lambda gg, cc: render(gg, cc, settings)["n_dropped"])(g, cam))
+    info = {"checkpoint_iteration": it,
+            "n_alive": int(g.num_alive()),
+            "trained_instances": n_live,
+            "trained_max_instances": k,
+            "trained_n_dropped": n_dropped,
+            "height": cam.height, "width": cam.width}
+    return make_chain(g, cam, settings, target), info
 
 
 def time_step(chain, k1=2, k2=12, reps=3):
     """Per-step device time as the slope between k1- and k2-iteration
-    chains (median of `reps`)."""
+    chains.  Returns (median, spread, reps): spread = max-min over the
+    interleaved slope reps, so the bench JSON carries its own error bar
+    (VERDICT r4 next #6: cross-session drift is ±1.5 Mpix/s — a
+    single-point BENCH number reads noise as signal)."""
     for iters in (k1, k2):
         float(chain(jnp.float32(0.5), iters))  # compile + warm
     pers = []
@@ -111,7 +169,7 @@ def time_step(chain, k1=2, k2=12, reps=3):
         float(chain(s2, k2))
         t2 = time.perf_counter()
         pers.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
-    return float(np.median(pers))
+    return float(np.median(pers)), float(max(pers) - min(pers)), reps
 
 
 def main():
@@ -127,8 +185,13 @@ def main():
                   capacity=2 ** 17 if on_tpu else 4096,
                   use_pallas=on_tpu,
                   max_instances=1536 * 256 if on_tpu else 2 ** 14)
-    dt = time_step(chain) if on_tpu else time_step(chain, k1=1, k2=3, reps=1)
+    if on_tpu:
+        dt, dt_spread, reps = time_step(chain)
+    else:
+        dt, dt_spread, reps = time_step(chain, k1=1, k2=3, reps=1)
     mpix_s = width * height / dt / 1e6
+    # error bar in throughput units: spread of the slope reps propagated
+    spread_mpix = (width * height / 1e6) * dt_spread / (dt * dt)
 
     # Anisotropic headline variant: same size, rotated elongated splats —
     # the regime real trained scenes live in, where the default-on exact
@@ -140,12 +203,38 @@ def main():
             a_chain = build(width=width, height=height, n=100_000,
                             capacity=2 ** 17, use_pallas=True,
                             max_instances=1536 * 256, aniso=True)
-            a_dt = time_step(a_chain, k1=2, k2=10, reps=2)
+            a_dt, _, _ = time_step(a_chain, k1=2, k2=10, reps=2)
             aniso_mpix_s = width * height / a_dt / 1e6
             print(f"anisotropic variant: {a_dt*1e3:.2f} ms/step "
                   f"({aniso_mpix_s:.2f} Mpix/s)", file=sys.stderr)
         except Exception as e:
             print(f"aniso bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # Trained-checkpoint line (VERDICT r4 next #2): the tex-scene 30k
+    # checkpoint, auto-sized stream — real anisotropy + tile imbalance.
+    trained = None
+    if on_tpu and os.environ.get("BENCH_SKIP_TRAINED") != "1":
+        try:
+            t_chain, t_info = build_trained()
+            if t_chain is not None:
+                t_dt, t_spread, t_reps = time_step(t_chain, k1=2, k2=10,
+                                                   reps=3)
+                px = t_info["height"] * t_info["width"]
+                trained = dict(t_info)
+                trained["trained_mpix_s"] = round(px / t_dt / 1e6, 3)
+                trained["trained_spread_mpix_s"] = round(
+                    (px / 1e6) * t_spread / (t_dt * t_dt), 3)
+                print(f"trained checkpoint it{t_info['checkpoint_iteration']}"
+                      f" ({t_info['n_alive']} splats, stream "
+                      f"{t_info['trained_max_instances']}): "
+                      f"{t_dt*1e3:.2f} ms/step "
+                      f"({trained['trained_mpix_s']:.2f} Mpix/s)",
+                      file=sys.stderr)
+            else:
+                print(f"trained bench skipped: {t_info}", file=sys.stderr)
+        except Exception as e:
+            print(f"trained bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     vs_baseline = 1.0
@@ -184,9 +273,17 @@ def main():
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(vs_baseline, 3),
+        # self-describing error bar (VERDICT r4 next #6): spread = max-min
+        # of `reps` interleaved slope pairs, in Mpix/s.  Cross-session
+        # drift is ±1.5 Mpix/s on top of this (PERF.md round-4) — compare
+        # BENCH files round-over-round only beyond spread + session drift.
+        "spread": round(spread_mpix, 3),
+        "reps": reps,
     }
     if aniso_mpix_s is not None:
         out["aniso_rotated_mpix_s"] = round(aniso_mpix_s, 3)
+    if trained is not None:
+        out.update(trained)
     print(json.dumps(out))
 
 

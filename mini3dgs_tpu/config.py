@@ -128,6 +128,10 @@ class TrainingConfig:
     # (the amortized ~10 ms dispatch does not pay for the loop-body
     # slowdown); opt in with 0 on runtimes where dispatch dominates.
     steps_per_call: int = 1
+    # K-loop camera staging budget: the loop keeps the FULL train-camera
+    # stack (incl. target images) device-resident; above this many MB the
+    # trainer falls back to per-step dispatch instead of risking HBM OOM.
+    loop_stage_budget_mb: int = 2048
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
 
@@ -189,6 +193,7 @@ _NESTED_MAP = {
     ("tpu", "ring_capacity"): "ring_capacity",
     ("tpu", "verify_sharding"): "verify_sharding",
     ("tpu", "steps_per_call"): "steps_per_call",
+    ("tpu", "loop_stage_budget_mb"): "loop_stage_budget_mb",
     ("tpu", "auto_max_instances"): "auto_max_instances",
     ("training", "steps_per_call"): "steps_per_call",
     ("tpu", "use_pallas"): "use_pallas",

@@ -58,14 +58,17 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
     `proj` is the full (replicated) projected set, as in the all_to_all
     route — UNLESS `gid_sharded=True` (ring v3, VERDICT r3 missing #3):
     then `proj` holds only this device's LOCAL gid block (global gids
-    [i*Cs, (i+1)*Cs), Cs = C/n) and no per-device array with leading dim C
-    is ever materialized except the depth-KEY vector and two [C] int32 rank
-    vectors (~12 bytes/Gaussian, vs 64 for the projected rows): depth keys
-    are all_gathered alone, rows route to their rank-range owners through
-    the bucket-compacted all_to_all (binning.rank_reshard_rows_compact,
-    buffers [n, reshard_capacity, 16]), and every per-Gaussian stage runs
-    at Cs rows.  Reshard-bucket overflow rows are dropped and counted in
-    n_dropped (default capacity 4x the uniform mean Cs/n)."""
+    [i*Cs, (i+1)*Cs), Cs = C/n) and NO per-device array with leading dim C
+    is ever materialized (tests/test_ring.py walks the jaxpr to enforce
+    it): global depth ranks come from the ring-rotation counting sort
+    (binning.distributed_ranks, peak O(Cs)), rows route to their
+    rank-range owners through the bucket-compacted all_to_all
+    (binning.rank_reshard_rows_compact, buffers [n, reshard_capacity, 16]),
+    and every per-Gaussian stage runs at Cs rows.  Invisible rows are
+    excluded from the reshard (sentinel rank; ADVICE r4): only VISIBLE
+    bucket overflow is dropped, surfaced as the separate `reshard_drops`
+    output (Gaussian ROWS, not stream instances — different units than
+    `n_dropped`; default capacity 4x the uniform mean Cs/n)."""
     if interpret is None:
         interpret = RP._interpret()
     n = n_shards
@@ -86,17 +89,13 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
                                  gtx, gty)
     reshard_drops = jnp.int32(0)
     if gid_sharded:
-        # v3: O(C/n) activations.  Gather DEPTH KEYS ONLY ([C] f32); the
-        # global rank vectors stay [C] int32 but no [C]-row matrix exists.
+        # v3: O(C/n) activations AND zero [C] arrays (VERDICT r4 next #3):
+        # ranks come from the ring-rotation counting sort on local blocks;
+        # invisible rows get a sentinel rank and never enter the reshard.
         Cs = Cs_in
         assert C % n == 0
-        depth_local = jnp.where(proj.visible, proj.depth, jnp.inf)
-        depth_all = jax.lax.all_gather(depth_local, axis_name, axis=0,
-                                       tiled=True)              # [C]
-        order = jax.lax.sort(
-            (depth_all, jnp.arange(C, dtype=jnp.int32)), num_keys=1)[1]
-        rank = B._inverse_permutation(order)
-        rank_local = jax.lax.dynamic_slice_in_dim(rank, i * Cs, Cs)
+        rank_local = B.distributed_ranks(proj.depth, proj.visible,
+                                         axis_name, n)
         zero = jnp.zeros((Cs,), jnp.float32)
         ext_x = proj.ext_x if proj.ext_x is not None else zero
         ext_y = proj.ext_y if proj.ext_y is not None else zero
@@ -219,7 +218,11 @@ def ring_rasterize_band(proj: Projected, band_h: int, W: int,
     depth = (D / (A + 1e-6))[None]
     # origin-local overflow count (this device's rank range, all bands) —
     # same per-device semantics as the one-shot sharded route; callers psum
-    # over the axis for the per-camera total (trainer metric render_drops)
+    # over the axis for the per-camera total (trainer metric render_drops).
+    # reshard_drops is SEPARATE (ADVICE r4: it counts dropped Gaussian ROWS
+    # in the v3 rank reshard, a different unit than n_dropped's stream
+    # instances — summing them made capacity sizing uninterpretable).
     return {"image": image, "alpha": alpha, "depth": depth,
-            "n_dropped": jax.lax.stop_gradient(rb.n_dropped
-                                               + reshard_drops)}
+            "n_dropped": jax.lax.stop_gradient(rb.n_dropped),
+            "n_live": jax.lax.stop_gradient(rb.n_live),
+            "reshard_drops": jax.lax.stop_gradient(reshard_drops)}

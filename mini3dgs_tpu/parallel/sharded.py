@@ -189,6 +189,16 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
             parts = dict(parts)
             parts["render_drops"] = jax.lax.psum(
                 jnp.asarray(out.get("n_dropped", 0), jnp.float32), "tile")
+            if "reshard_drops" in out:  # ring v3 row drops (distinct unit)
+                parts["reshard_drops"] = jax.lax.psum(
+                    jnp.asarray(out["reshard_drops"], jnp.float32), "tile")
+            if "n_live" in out:
+                # WORST per-device stream occupancy (not the sum): each band
+                # device carries its own max_instances-long stream, so the
+                # auto-sizer's binding constraint is the max over the mesh
+                # (VERDICT r4 next #5: enable auto_max_instances under a mesh)
+                parts["render_instances"] = jax.lax.pmax(jax.lax.pmax(
+                    jnp.asarray(out["n_live"], jnp.float32), "tile"), "data")
             return total, (parts, jax.lax.stop_gradient(proj.radius),
                            jax.lax.stop_gradient(proj.visible))
 
@@ -274,6 +284,7 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
                            shard_axis="tile", n_shards=n_tile)
         out.pop("n_dropped", None)
         out.pop("n_live", None)
+        out.pop("reshard_drops", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
                  for k, v in out.items()}
         return {k: v.transpose(1, 0, 2, 3).reshape(v.shape[1], H, W)
@@ -446,6 +457,16 @@ def make_gauss_sharded_train_step(config: TrainingConfig,
             parts = dict(parts)
             parts["render_drops"] = jax.lax.psum(
                 jnp.asarray(out.get("n_dropped", 0), jnp.float32), "tile")
+            if "reshard_drops" in out:  # ring v3 row drops (distinct unit)
+                parts["reshard_drops"] = jax.lax.psum(
+                    jnp.asarray(out["reshard_drops"], jnp.float32), "tile")
+            if "n_live" in out:
+                # WORST per-device stream occupancy (not the sum): each band
+                # device carries its own max_instances-long stream, so the
+                # auto-sizer's binding constraint is the max over the mesh
+                # (VERDICT r4 next #5: enable auto_max_instances under a mesh)
+                parts["render_instances"] = jax.lax.pmax(jax.lax.pmax(
+                    jnp.asarray(out["n_live"], jnp.float32), "tile"), "data")
             return total, (parts,
                            jax.lax.stop_gradient(own(proj_slice.radius)),
                            jax.lax.stop_gradient(own(proj_slice.visible)))
@@ -554,6 +575,7 @@ def make_gauss_sharded_render(settings: RenderSettings, mesh: Mesh,
                            shard_axis="tile", n_shards=n_tile, proj=proj)
         out.pop("n_dropped", None)
         out.pop("n_live", None)
+        out.pop("reshard_drops", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
                  for k, v in out.items()}
         return {k: v.transpose(1, 0, 2, 3).reshape(v.shape[1], H, W)

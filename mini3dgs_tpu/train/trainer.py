@@ -303,6 +303,8 @@ class GaussianTrainer:
         self._train_loops = {}      # (sh degree, K) -> jitted K-step loop
         self._cams_device = None    # device-resident stacked camera pytree
         self._occupancy_hist = []   # stream-occupancy samples (auto sizing)
+        self._window_obs = []       # device-side per-step metric refs
+        self._eval_renderers = {}
         self._densify_step = None
         self._key = jax.random.PRNGKey(config.seed)
 
@@ -482,6 +484,10 @@ class GaussianTrainer:
             # explicit K must still divide every cadence
             if g % self.config.steps_per_call == 0:
                 return self.config.steps_per_call
+            print(f"[train] steps_per_call={self.config.steps_per_call} does "
+                  f"not divide the event-cadence gcd {g}; using K={g} so "
+                  f"densify/log/eval events stay on window boundaries",
+                  flush=True)  # ADVICE r4: never silently override
             return g
         return g
 
@@ -510,7 +516,7 @@ class GaussianTrainer:
         grow_capacity); eight consecutive samples all below 35% halve it
         (hysteresis; floor 2^16 or 4 chunks).  Either direction rebuilds
         the jitted steps — rare, amortized over thousands of steps."""
-        if (not self.config.auto_max_instances or self.mesh is not None
+        if (not self.config.auto_max_instances
                 or not self.settings.use_pallas):
             return
         inst = metrics.get("render_instances")
@@ -519,6 +525,23 @@ class GaussianTrainer:
         k = self.settings.max_instances
         inst = float(inst)
         drops = float(metrics.get("render_drops", 0.0))
+        # Between log boundaries the single-dispatch path accumulates the
+        # window's device-side metric refs (ADVICE r4: per-camera instance
+        # counts vary widely — sampling only the log step hid interior
+        # overflows from the sizer); fold the window max in here.  One
+        # stack+max dispatch and one host fetch per log window — never a
+        # per-step sync.
+        if self._window_obs:
+            for kk, cur in (("render_instances", inst),
+                            ("render_drops", drops)):
+                vals = [o[kk] for o in self._window_obs if kk in o]
+                if vals:
+                    cur = max(cur, float(jnp.max(jnp.stack(vals))))
+                if kk == "render_instances":
+                    inst = cur
+                else:
+                    drops = cur
+            self._window_obs = []
         self._occupancy_hist = (self._occupancy_hist + [inst / k])[-8:]
         floor = max(1 << 16, 4 * self.settings.gaussian_chunk)
         new_k = k
@@ -534,6 +557,7 @@ class GaussianTrainer:
             self.settings = self.settings.replace(max_instances=new_k)
             self._train_steps = {}
             self._train_loops = {}
+            self._eval_renderers = {}   # mesh eval renderers bake the stream
             self._occupancy_hist = []
 
     def train(self, iterations: Optional[int] = None,
@@ -549,6 +573,22 @@ class GaussianTrainer:
         metrics = {}
         n_data = self.mesh.shape["data"] if self.mesh is not None else 1
         K = self._loop_K() if cams else 1
+        if K > 1 and cams:
+            # The K-loop stages the FULL camera stack (incl. every target
+            # image) as a permanent device-resident pytree (ADVICE r4: for
+            # hundreds of 1080p f32 cameras that is multiple GB of HBM with
+            # no guard).  Above the budget, fall back to per-step dispatch.
+            staged = sum(getattr(leaf, "nbytes", 8)
+                         for c in cams for leaf in jax.tree.leaves(c))
+            budget = self.config.loop_stage_budget_mb * (1 << 20)
+            if staged > budget:
+                print(f"[train] K-step loop disabled: staging "
+                      f"{len(cams)} cameras needs {staged / 2**20:.0f} MB "
+                      f"of device memory (budget "
+                      f"{self.config.loop_stage_budget_mb} MB, "
+                      f"config.loop_stage_budget_mb); dispatching per step",
+                      flush=True)
+                K = 1
         end = self.iteration + iterations
         while self.iteration < end:
             it0 = self.iteration
@@ -573,6 +613,16 @@ class GaussianTrainer:
                     # compiled step (uid/image_name live in the jit treedef)
                     cam = cams[cam_idx].replace(uid=0, image_name="")
                 metrics = self.train_step(cam, cam_idx)
+                if (self.config.auto_max_instances
+                        and self.settings.use_pallas
+                        and it % self.config.log_interval != 0):
+                    # keep the DEVICE-side refs; the sizer folds the window
+                    # max in at the log boundary (one fetch per window — a
+                    # per-step float() would sync the async pipeline)
+                    self._window_obs.append(
+                        {k: metrics[k] for k in ("render_instances",
+                                                 "render_drops")
+                         if k in metrics})
             if density.should_densify(it, self.config):
                 self._key, sub = jax.random.split(self._key)
                 # canonical big-point prune activates after the first

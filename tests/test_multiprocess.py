@@ -121,7 +121,32 @@ for ring in (False, True):
 ring_ok = bool(np.isfinite(ring_loss[True])
                and abs(ring_loss[True] - ring_loss[False])
                <= 1e-5 * max(abs(ring_loss[False]), 1e-3))
-print(f"RESULT pid={{pid}} loss={{loss:.8f}} xyzsum={{float(np.abs(xyz).sum()):.8f}} ck={{ck_ok}} ring={{ring_ok}}",
+
+# Ring v3 x TP across the REAL process boundary (VERDICT r4 next #4): the
+# flagship memory mode — gauss-sharded model+Adam state AND gid-sharded
+# ring raster (distributed ranking, bucket-compacted rank reshard) — on
+# the same 8-device tile axis spanning both processes, so the ranking
+# ppermute hops, the reshard all_to_all, and the sharded-state update all
+# cross real addressable-shard boundaries (not GSPMD simulation).
+from mini3dgs_tpu.parallel.sharded import make_gauss_sharded_train_step
+rcfg3 = TrainingConfig(capacity=64, image_height=128, image_width=32,
+                       use_pallas=True, max_instances=2048,
+                       gaussian_chunk=32, mesh_data=1, mesh_tile=8,
+                       shard_gauss_state=True)
+settings3 = RenderSettings(image_height=128, image_width=32,
+                           use_pallas=True, max_instances=2048,
+                           gaussian_chunk=32, ring=True, ring_local=True,
+                           ring_reshard_capacity=8)  # = Cs: lossless
+st3 = create_train_state(random_scene(40, seed=2, spread=0.35), rcfg3)
+st3 = shard_train_state(jax.device_get(st3), rmesh)
+step3 = make_gauss_sharded_train_step(rcfg3, settings3, rmesh, st3)
+st3, m3 = step3(st3, cams2)
+v3_loss = float(m3["total_loss"])
+v3_ok = bool(np.isfinite(v3_loss)
+             and abs(v3_loss - ring_loss[False])
+             <= 1e-4 * max(abs(ring_loss[False]), 1e-3)
+             and float(m3.get("reshard_drops", -1.0)) == 0.0)
+print(f"RESULT pid={{pid}} loss={{loss:.8f}} xyzsum={{float(np.abs(xyz).sum()):.8f}} ck={{ck_ok}} ring={{ring_ok}} ring3={{v3_ok}}",
       flush=True)
 """
 
@@ -160,11 +185,14 @@ def test_two_process_distributed_step(tmp_path):
                             f"{out[-800:]}")
             raise AssertionError(f"worker failed rc={p.returncode}:\n{out}")
         m = re.search(r"RESULT pid=(\d) loss=([\d.]+) xyzsum=([\d.]+) "
-                      r"ck=(\w+) ring=(\w+)", out)
+                      r"ck=(\w+) ring=(\w+) ring3=(\w+)", out)
         assert m, out
         assert m.group(4) == "True", f"sharded checkpoint mismatch:\n{out}"
         assert m.group(5) == "True", (
             f"cross-process ring loss mismatch:\n{out}")
+        assert m.group(6) == "True", (
+            f"cross-process ring v3 x TP (gauss-sharded + ring_local) "
+            f"loss mismatch or reshard drops:\n{out}")
         results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
     assert set(results) == {0, 1}
     # both processes computed the same replicated result

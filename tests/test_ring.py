@@ -462,7 +462,10 @@ def test_ring_local_matches_gathered_routes():
 @requires_8
 def test_ring_local_bucket_overflow_counted():
     """v3 with an undersized reshard bucket must stay finite and surface
-    the dropped rows in render_drops (never silent degradation)."""
+    the dropped rows in the SEPARATE reshard_drops metric (never silent
+    degradation; ADVICE r4: reshard drops count Gaussian rows, stream
+    drops count tile instances — mixing the units in one number made
+    capacity sizing uninterpretable)."""
     from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
                                                shard_train_state)
     cfg = TrainingConfig(capacity=64, image_height=32, image_width=32,
@@ -491,5 +494,176 @@ def test_ring_local_bucket_overflow_counted():
     step = make_gauss_sharded_train_step(cfg, settings, mesh, st)
     st, m = step(st, cams)
     assert np.isfinite(float(m["total_loss"]))
-    assert float(m["render_drops"]) > 0.0
+    assert float(m["reshard_drops"]) > 0.0
     assert np.all(np.isfinite(np.asarray(st.gaussians.xyz)))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: distributed ranking (zero [C] arrays) + invisible-row exclusion
+# ---------------------------------------------------------------------------
+
+@requires_8
+def test_distributed_ranks_matches_replicated():
+    """binning.distributed_ranks (ring-rotation counting sort, O(Cs) peak)
+    must reproduce the replicated stable-sort ranks exactly for visible
+    rows — including cross-device f32 depth ties, which break by ascending
+    global gid (the stable sort's iota payload) — and return the
+    _INT32_MAX sentinel for invisible rows (ADVICE r4: excluded from the
+    rank reshard instead of flooding back-of-order buckets)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from mini3dgs_tpu.ops import binning as B
+
+    n, Cs = 8, 16
+    C = n * Cs
+    rng = np.random.default_rng(9)
+    depth = rng.uniform(1.0, 5.0, C).astype(np.float32)
+    # deliberate tie classes spanning device boundaries
+    depth[3] = depth[40] = depth[77] = depth[126] = 2.5
+    depth[10] = depth[11] = depth[90] = 3.25
+    visible = rng.random(C) > 0.3
+    visible[40] = visible[77] = True
+    mesh = make_mesh(data=1, tile=n)
+
+    ranks = jax.jit(shard_map(
+        lambda d, v: B.distributed_ranks(d, v, "tile", n), mesh=mesh,
+        in_specs=(P(("data", "tile")), P(("data", "tile"))),
+        out_specs=P(("data", "tile")), check_vma=False))(
+            jnp.asarray(depth), jnp.asarray(visible))
+    ranks = np.asarray(ranks)
+
+    # replicated oracle: stable sort of (visible ? depth : inf, gid)
+    key = np.where(visible, depth, np.inf)
+    order = np.lexsort((np.arange(C), key))      # stable by (key, gid)
+    oracle = np.empty(C, np.int64)
+    oracle[order] = np.arange(C)
+    np.testing.assert_array_equal(ranks[visible], oracle[visible])
+    assert np.all(ranks[~visible] == np.iinfo(np.int32).max)
+
+
+@requires_8
+def test_ring_local_high_cull_no_false_drops():
+    """ADVICE r4 medium: a device whose rows are mostly CULLED must not
+    overflow the v3 reshard buckets — invisible rows used to get real
+    back-of-order ranks concentrated on 1-2 destinations, so >4/n culled
+    fraction structurally tripped the default 4x-mean cap and render_drops
+    false-alarmed.  8-way tile axis, 75% culled, default cap: zero drops,
+    and the loss must match the gathered ring (v1) exactly."""
+    from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
+                                               shard_train_state)
+    n = 8
+    cap = 64
+    rng = np.random.default_rng(6)
+    # 16 visible in front of the camera, 48 behind it (culled), interleaved
+    # over gid space so every device block is ~75% invisible
+    xyz = np.zeros((cap, 3), np.float32)
+    xyz[:, 0] = rng.uniform(-0.4, 0.4, cap)
+    xyz[:, 1] = rng.uniform(-0.4, 0.4, cap)
+    z = np.full(cap, -2.0, np.float32)           # behind the camera
+    z[::4] = rng.uniform(1.0, 3.0, cap // 4)     # every 4th visible
+    xyz[:, 2] = z
+    sig = np.full((cap, 3), 0.08, np.float32)
+    col = rng.uniform(0, 1, (cap, 3)).astype(np.float32)
+    op = np.full(cap, 0.8, np.float32)
+    gs = make_gaussians(xyz, sig, col, op)
+    H, W = 16 * n, 32
+    cam = identity_camera(W, H, 70.0)
+    target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+    cam = cam.replace(image=target)
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+    mesh = make_mesh(data=1, tile=n)
+    cfg = TrainingConfig(capacity=cap, image_height=H, image_width=W,
+                         use_pallas=True, max_instances=2048,
+                         gaussian_chunk=32, mesh_data=1, mesh_tile=n,
+                         shard_gauss_state=True)
+    results = {}
+    for ring_local in (False, True):
+        settings = RenderSettings(
+            image_height=H, image_width=W, use_pallas=True,
+            max_instances=2048, gaussian_chunk=32, ring=True,
+            ring_local=ring_local)  # DEFAULT reshard cap: 4x uniform mean
+        st = shard_train_state(create_train_state(gs, cfg), mesh)
+        step = make_gauss_sharded_train_step(cfg, settings, mesh, st)
+        st, m = step(st, cams)
+        results[ring_local] = m
+    m = results[True]
+    assert float(m.get("reshard_drops", 0.0)) == 0.0, (
+        "invisible rows must not consume reshard bucket capacity")
+    assert float(m["render_drops"]) == 0.0
+    np.testing.assert_allclose(float(m["total_loss"]),
+                               float(results[False]["total_loss"]),
+                               rtol=1e-5)
+
+
+def _walk_shardmap_avals(jaxpr, in_shard_map=False):
+    """Yield every aval shape appearing in eqns INSIDE shard_map bodies,
+    recursing through pjit/custom/scan sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        inside = in_shard_map or "shard_map" in eqn.primitive.name
+        if in_shard_map:
+            for v in list(eqn.invars) + list(eqn.outvars):
+                aval = getattr(v, "aval", None)
+                if aval is not None and hasattr(aval, "shape"):
+                    yield aval.shape, eqn.primitive.name
+        for sub in _sub_jaxprs(eqn.params):
+            yield from _walk_shardmap_avals(sub, inside)
+
+
+def _sub_jaxprs(obj):
+    import jax.extend.core as jex
+    if isinstance(obj, dict):
+        obj = obj.values()
+    elif not isinstance(obj, (list, tuple)):
+        obj = [obj]
+    for v in obj:
+        if isinstance(v, jex.ClosedJaxpr) or (hasattr(v, "eqns")
+                                              and hasattr(v, "invars")):
+            yield v.jaxpr if hasattr(v, "jaxpr") else v
+        elif isinstance(v, (list, tuple, dict)):
+            yield from _sub_jaxprs(v)
+
+
+@requires_8
+def test_ring_local_jaxpr_has_no_C_arrays():
+    """VERDICT r4 next #3 acceptance: walking the jaxpr of the
+    gauss-sharded ring-v3 train step, NO per-device array inside the
+    shard_map body may carry a dimension equal to the global capacity C —
+    ranks, routing, binning, raster, loss, and the whole backward must run
+    at O(C/n).  C is chosen to collide with no other static size in the
+    program (C=328: bands 16x32, P=256, G=32, grids Cs*9)."""
+    from mini3dgs_tpu.parallel.sharded import (make_gauss_sharded_train_step,
+                                               shard_train_state)
+    n = 8
+    C = 328                      # 41 rows/device; indivisible by tile sizes
+    H, W = 16 * n, 32
+    rng = np.random.default_rng(3)
+    xyz = np.concatenate([rng.uniform(-0.4, 0.4, (C, 2)),
+                          rng.uniform(1.0, 3.0, (C, 1))],
+                         axis=1).astype(np.float32)
+    gs = make_gaussians(xyz, np.full((C, 3), 0.06, np.float32),
+                        rng.uniform(0, 1, (C, 3)).astype(np.float32),
+                        np.full(C, 0.7, np.float32))
+    cam = identity_camera(W, H, 70.0)
+    cam = cam.replace(image=jnp.zeros((3, H, W), jnp.float32))
+    cams = jax.tree.map(lambda x: jnp.stack([x]), cam)
+    mesh = make_mesh(data=1, tile=n)
+    cfg = TrainingConfig(capacity=C, image_height=H, image_width=W,
+                         use_pallas=True, max_instances=2048,
+                         gaussian_chunk=32, max_dup_per_axis=3,
+                         mesh_data=1, mesh_tile=n, shard_gauss_state=True)
+    settings = RenderSettings(image_height=H, image_width=W,
+                              use_pallas=True, max_instances=2048,
+                              gaussian_chunk=32, max_dup_per_axis=3,
+                              ring=True, ring_local=True)
+    st = shard_train_state(create_train_state(gs, cfg), mesh)
+    step = make_gauss_sharded_train_step(cfg, settings, mesh, st)
+    jaxpr = jax.make_jaxpr(lambda s, c: step(s, c))(st, cams)
+    shapes = list(_walk_shardmap_avals(jaxpr.jaxpr))
+    assert shapes, "walk found no shard_map body (test harness broken)"
+    offenders = sorted({(shape, prim) for shape, prim in shapes
+                        if C in shape})
+    assert not offenders, (
+        f"per-device arrays with a C={C} dimension inside the shard_map "
+        f"body: {offenders[:20]}")
+    # sanity: the walk DOES see the Cs-sized per-device rows
+    assert any(C // n in shape for shape, _ in shapes)

@@ -309,3 +309,20 @@ def test_k_step_loop_with_exposure(tmp_path):
                                np.asarray(a.state.exposure), atol=1e-6)
     np.testing.assert_allclose(np.asarray(b.state.gaussians.xyz),
                                np.asarray(a.state.gaussians.xyz), atol=5e-5)
+
+
+def test_auto_stream_sizing_grows_under_mesh(tmp_path):
+    """VERDICT r4 next #5: auto_max_instances must work under a mesh — the
+    sharded steps report the WORST per-device occupancy (pmax over the
+    mesh) and drops (psum), and a forced overflow must double the stream
+    and rebuild the jitted sharded steps."""
+    import jax as _jax
+    if len(_jax.devices()) < 2:
+        import pytest as _pytest
+        _pytest.skip("needs 2 virtual devices")
+    t = _pallas_trainer(tmp_path, max_instances=32, mesh_data=1, mesh_tile=2,
+                        verify_sharding=False)
+    assert t.mesh is not None
+    t.train(iterations=20)
+    assert t.settings.max_instances > 32
+    assert np.isfinite(t.train_losses[-1])

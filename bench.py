@@ -12,6 +12,7 @@ same chip when available, else 1.0.
 
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -129,6 +130,14 @@ def build_trained(config_yaml="configs/sdf_tex_30k.yaml"):
     trainer.setup()
     trainer.load_checkpoint(it)
     g = trainer.state.gaussians
+    cap0 = g.capacity
+    if os.environ.get("BENCH_NO_COMPACT") != "1":
+        # Load-time slot compaction: the checkpoint sits mid-growth at 32%
+        # pool occupancy; per-Gaussian stages scale with CAPACITY, so
+        # compacting to the next pow2 over the live count (2^19 -> 2^18
+        # here) removes pure dead-slot overhead.  Output identical.
+        from mini3dgs_tpu.core.gaussians import compact
+        g = compact(g)
     cam = trainer.dataset.get_train_cameras()[0].replace(uid=0,
                                                          image_name="")
     target = cam.image
@@ -143,6 +152,8 @@ def build_trained(config_yaml="configs/sdf_tex_30k.yaml"):
     n_dropped = int(jax.jit(
         lambda gg, cc: render(gg, cc, settings)["n_dropped"])(g, cam))
     info = {"checkpoint_iteration": it,
+            "trained_capacity": int(g.capacity),
+            "trained_capacity_raw": int(cap0),
             "n_alive": int(g.num_alive()),
             "trained_instances": n_live,
             "trained_max_instances": k,

@@ -178,6 +178,39 @@ def reset_opacity(g: Gaussians, new_opacity: float = 0.01) -> Gaussians:
     return g.replace(opacity=new)
 
 
+def compact(g: Gaussians, capacity: Optional[int] = None,
+            margin: float = 1.25) -> Gaussians:
+    """Pack alive slots to the front and shrink the static pool (load-time /
+    inference).  Per-Gaussian stage cost (projection, pack gathers) scales
+    with CAPACITY, not live count, so a checkpoint written mid-growth can sit
+    at low occupancy and tax every render (tex30k: 167,714 alive in a 2^19
+    pool = 32% occupancy; compacting to 2^18 halves the dead-slot overhead).
+    Rendered output is identical — dead slots have ~0 opacity and emit
+    nothing.  Host-side (numpy gather); not jittable, call once at load.
+    The CUDA reference stack sizes its buffers to the live count every
+    densify, so it never pays this; the static-pool answer is one compaction
+    at the training/inference boundary."""
+    alive = np.asarray(g.alive)
+    idx = np.flatnonzero(alive)
+    n = int(len(idx))
+    if capacity is None:
+        capacity = 1 << max(int(np.ceil(np.log2(max(n * margin, 2.0)))), 1)
+    assert capacity >= n, (capacity, n)
+    base = _empty(capacity)
+    fields = dict(
+        xyz=np.asarray(g.xyz)[idx],
+        features_dc=np.asarray(g.features_dc)[idx],
+        features_rest=np.asarray(g.features_rest)[idx],
+        scaling=np.asarray(g.scaling)[idx],
+        rotation=np.asarray(g.rotation)[idx],
+        opacity=np.asarray(g.opacity)[idx],
+        xyz_gradient_accum=np.asarray(g.xyz_gradient_accum)[idx],
+        denom=np.asarray(g.denom)[idx],
+        max_radii2D=np.asarray(g.max_radii2D)[idx],
+    )
+    return _fill(base, n, **{k: jnp.asarray(v) for k, v in fields.items()})
+
+
 def scene_extent_of(g: Gaussians) -> jnp.ndarray:
     """Mean axis range of alive points (gaussian_model.py:61-62 heuristic)."""
     big = jnp.where(g.alive[:, None], g.xyz, -jnp.inf)

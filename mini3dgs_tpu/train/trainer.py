@@ -560,6 +560,50 @@ class GaussianTrainer:
             self._eval_renderers = {}   # mesh eval renderers bake the stream
             self._occupancy_hist = []
 
+    def _auto_size_stream_initial(self) -> None:
+        """Size the instance stream to the scene with ONE probe render
+        before the first step (round-5 trace, docs/artifacts/
+        trace_r5_trainer.md): a hand-sized 4M stream on a ~385K-instance
+        trained scene cost ~190 ms/step — 6x the kernels — in pure
+        stream-length-proportional pack/sort/elementwise work, because the
+        runtime sizer only SHRINKS after 8 consecutive low samples (~800
+        steps of 6x tax).  Grows 2x on probe overflow, then sets ~1.5x
+        headroom over the observed occupancy; the runtime sizer keeps
+        adjusting from there.  One render-only compile, amortized over the
+        run."""
+        if (not self.config.auto_max_instances or not self.settings.use_pallas
+                or self.mesh is not None or getattr(self, "_stream_probed",
+                                                    False)):
+            return
+        cams = self.train_cameras()
+        if not cams:
+            return
+        self._stream_probed = True
+        cam = cams[0].replace(uid=0, image_name="")
+        g = self.state.gaussians
+        for _ in range(4):
+            st = self.settings.replace(sh_degree=self.active_sh_degree())
+            out = jax.jit(lambda gg, cc: render(gg, cc, st))(g, cam)
+            n_live = int(out["n_live"])
+            if int(out["n_dropped"]) == 0:
+                G = self.settings.gaussian_chunk
+                floor = max(1 << 16, 4 * G)
+                k = max(((int(n_live * 1.5) + G - 1) // G) * G, floor)
+                if k != self.settings.max_instances:
+                    print(f"[auto_max_instances] initial probe: "
+                          f"{n_live} instances -> stream "
+                          f"{self.settings.max_instances} -> {k}", flush=True)
+                    self.settings = self.settings.replace(max_instances=k)
+                    self._train_steps = {}
+                    self._train_loops = {}
+                    self._eval_renderers = {}
+                return
+            self.settings = self.settings.replace(
+                max_instances=2 * self.settings.max_instances)
+            self._train_steps = {}
+            self._train_loops = {}
+            self._eval_renderers = {}
+
     def train(self, iterations: Optional[int] = None,
               log_fn: Optional[Callable] = None):
         """Main loop (reference trainer.py:45-59).  Single-device runs
@@ -568,6 +612,7 @@ class GaussianTrainer:
         make_train_loop); every densify/prune/reset/log/eval/save event
         lands on a window boundary by construction of K."""
         iterations = iterations or self.config.iterations
+        self._auto_size_stream_initial()
         cams = list(self.train_cameras())
         rng = np.random.default_rng(self.config.seed)
         metrics = {}

@@ -253,20 +253,65 @@ def main(argv=None):
     trace_dir = f"{args.trace_dir}_{args.mode}"
     if args.mode == "bench":
         meta = run_bench(trace_dir, args.reps)
+        meta["steps_traced"] = args.reps * 4
     elif args.mode == "trainer":
         meta = run_trainer(trace_dir, args.steps)
+        meta["steps_traced"] = args.steps
     else:
         meta = run_loop(trace_dir, args.k)
+        meta["steps_traced"] = 2 * args.k
 
-    events = load_trace_events(trace_dir)
-    lane_total, rows = summarize(events)
-    buckets = bucketize(rows)
     out = args.out or f"docs/artifacts/trace_r5_{args.mode}.md"
     import jax
     meta["backend"] = jax.default_backend()
-    write_summary(out, f"jax.profiler trace summary — {args.mode}",
-                  lane_total, rows, buckets, meta)
+    write_xplane_summary(trace_dir, out, meta)
     return 0
+
+
+def write_xplane_summary(trace_dir, out, meta):
+    """Preferred artifact: per-op DEVICE self-time table from the .xplane.pb
+    (the perfetto JSON of a remote-axon capture collapses the device lane
+    into one opaque Steps block; the xplane keeps 'XLA Ops')."""
+    from xplane import parse_xspace, self_time_table, op_table
+    pbs = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not pbs:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    planes = parse_xspace(pbs[-1])
+    table = self_time_table(planes)
+    mods = op_table(planes)
+    steps = meta.get("steps_traced", 1)
+    lines = [f"# Device op self-time table — {meta.get('workload', '?')}", ""]
+    for k, v in meta.items():
+        lines.append(f"- {k}: {v}")
+    lines.append("")
+    for plane, rows in table.items():
+        total_self = sum(r[1] for r in rows)
+        lines.append(f"## {plane} — XLA Ops self time")
+        lines.append("")
+        lines.append(f"Sum of self times: **{total_self/steps/1e9:.3f} "
+                     f"ms/step** over {steps} traced steps (self time = "
+                     f"event duration minus nested children, so the lane "
+                     f"sums to wall time exactly).")
+        lines.append("")
+        lines.append("| ms/step (self) | total ms | count | op |")
+        lines.append("|---|---|---|---|")
+        for op, self_ps, total_ps, cnt in rows[:45]:
+            if self_ps / steps / 1e9 < 0.005:
+                break
+            lines.append(f"| {self_ps/steps/1e9:.3f} | {total_ps/1e9:.1f} "
+                         f"| {cnt} | `{op[:100]}` |")
+        lines.append("")
+        m = mods.get(plane, {}).get("XLA Modules", [])
+        if m:
+            lines.append("### Modules")
+            lines.append("")
+            for op, ps, cnt in m[:8]:
+                lines.append(f"- `{op[:80]}`: {ps/1e9:.1f} ms over {cnt} "
+                             f"executions")
+            lines.append("")
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    Path(out).write_text("\n".join(lines) + "\n")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

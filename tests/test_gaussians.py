@@ -154,3 +154,36 @@ def test_size_mask_quantile():
     # roughly half the alive gaussians exceed the median size
     frac = mask[alive].mean()
     assert 0.2 <= frac <= 0.8
+
+
+def test_compact_preserves_render_and_shrinks():
+    """compact() packs alive slots to the front and shrinks the pool; the
+    rendered image must be IDENTICAL (dead slots emit nothing) — the
+    load-time answer to checkpoints written mid-growth at low occupancy
+    (per-Gaussian stage cost scales with capacity, not live count)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mini3dgs_tpu.core.gaussians import compact
+    from mini3dgs_tpu.ops.renderer import RenderSettings, render
+    from tests.test_raster_pallas import random_scene
+    from tests.test_render_golden import identity_camera
+
+    g = random_scene(60, seed=4)
+    alive = np.array(np.asarray(g.alive))
+    alive[::3] = False          # fragmented pool
+    g = g.replace(alive=jnp.asarray(alive))
+    gc = compact(g)
+    assert int(gc.num_alive()) == int(alive.sum())
+    assert gc.capacity == 64    # next pow2 over 40 * 1.25
+    assert bool(np.all(np.asarray(gc.alive)[:int(alive.sum())]))
+    cam = identity_camera(64, 64, 70.0)
+    s = RenderSettings(image_height=64, image_width=64, use_pallas=True,
+                       max_instances=4096, gaussian_chunk=32)
+    a = np.asarray(render(g, cam, s)["image"])
+    b = np.asarray(render(gc, cam, s)["image"])
+    np.testing.assert_array_equal(a, b)
+    # stat buffers ride along with their slots
+    np.testing.assert_array_equal(
+        np.asarray(gc.max_radii2D)[:int(alive.sum())],
+        np.asarray(g.max_radii2D)[np.flatnonzero(alive)])

@@ -132,6 +132,11 @@ class TrainingConfig:
     # stack (incl. target images) device-resident; above this many MB the
     # trainer falls back to per-step dispatch instead of risking HBM OOM.
     loop_stage_budget_mb: int = 2048
+    # Slot-compact the pool (and Adam moments) once the densify window
+    # closes (population frozen; growth headroom becomes pure per-capacity
+    # stage tax — round-5 trace: ~17 ms/step at 2^19 slots 32% occupied).
+    # Fires at most once, only if it saves >= 25% of the pool.
+    compact_after_densify: bool = True
     use_pallas: bool = True          # Pallas kernels vs pure-XLA golden path
     dtype: str = "float32"
 
@@ -194,6 +199,7 @@ _NESTED_MAP = {
     ("tpu", "verify_sharding"): "verify_sharding",
     ("tpu", "steps_per_call"): "steps_per_call",
     ("tpu", "loop_stage_budget_mb"): "loop_stage_budget_mb",
+    ("tpu", "compact_after_densify"): "compact_after_densify",
     ("tpu", "auto_max_instances"): "auto_max_instances",
     ("training", "steps_per_call"): "steps_per_call",
     ("tpu", "use_pallas"): "use_pallas",

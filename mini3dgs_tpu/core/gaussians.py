@@ -194,7 +194,12 @@ def compact(g: Gaussians, capacity: Optional[int] = None,
     idx = np.flatnonzero(alive)
     n = int(len(idx))
     if capacity is None:
-        capacity = 1 << max(int(np.ceil(np.log2(max(n * margin, 2.0)))), 1)
+        # the smaller of: next pow2 over margin*n (small scenes), or a
+        # 256-aligned 1.15*n (large scenes, where pow2 rounding wastes up
+        # to 2x in per-capacity stage cost)
+        pow2 = 1 << max(int(np.ceil(np.log2(max(n * margin, 2.0)))), 1)
+        aligned = max(-(-int(n * 1.15) // 256) * 256, 256)
+        capacity = min(pow2, aligned) if aligned >= n else pow2
     assert capacity >= n, (capacity, n)
     base = _empty(capacity)
     fields = dict(

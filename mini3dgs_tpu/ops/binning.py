@@ -61,13 +61,18 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray    # [T] compact start row of each tile
     tile_count: jnp.ndarray    # [T] instance count per tile
     n_live: jnp.ndarray        # scalar: rows [0, n_live) hold real instances
-    n_dropped: jnp.ndarray     # instances lost to capacity overflow
+    n_dropped: jnp.ndarray     # instances lost to capacity overflow (TOTAL,
+                               # incl. the large-pool share below)
     # Rank-sorted permutation of the stream, precomputed at binning time so
     # the pack BACKWARD applies it as one lane gather instead of re-sorting
     # with GRAD_ROWS payload operands (sort cost is linear in operands: the
     # former 11-op sort cost ~2.3 ms vs ~0.8 for this 2-op one + gather).
     rank_perm: jnp.ndarray     # [K] stream position of rank-sorted slot i
     rank_key: jnp.ndarray      # [K] the sorted keys (s_rank; dead tail = C)
+    # large-pool (two-level emission C_L compaction) share of n_dropped:
+    # a DIFFERENT capacity knob than the stream (large_capacity vs
+    # max_instances) — the auto-sizer must grow the right one
+    n_dropped_large: jnp.ndarray = 0
 
     @property
     def live(self) -> jnp.ndarray:
@@ -559,7 +564,8 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     s_rank = jnp.where(invalid, 0, s_rank).astype(jnp.int32)
 
     return _layout(s_tile, s_rank, order, inv_order, rank_counts,
-                   seg_start_gid, counts_gid, num_tiles, n_dropped)
+                   seg_start_gid, counts_gid, num_tiles, n_dropped,
+                   n_dropped_large=drop_large)
 
 
 def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
@@ -697,7 +703,8 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
                  + lost.sum() + drop_large)
 
     return _layout(s_tile, s_rank, order, inv_order, rank_counts,
-                   seg_start_gid, counts_gid, num_tiles_band, n_dropped)
+                   seg_start_gid, counts_gid, num_tiles_band, n_dropped,
+                   n_dropped_large=drop_large)
 
 
 class RingBinning(NamedTuple):
@@ -1152,7 +1159,7 @@ def bin_gaussians_ring_origin_resharded(
 
 
 def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
-            counts_gid, num_tiles, n_dropped) -> Binning:
+            counts_gid, num_tiles, n_dropped, n_dropped_large=0) -> Binning:
     """Per-tile ranges of the sorted (tile, rank) compact instance stream.
     Shared by the replicated and the gauss-sharded binning paths.  Invalid
     (INT32_MAX-key) slots carry tile sentinel `num_tiles` and sort to the
@@ -1180,7 +1187,9 @@ def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
                    inv_order=inv_order, rank_counts=rank_counts,
                    seg_start_gid=seg_start_gid, counts_gid=counts_gid,
                    tile_start=start, tile_count=count, n_live=n_live,
-                   n_dropped=n_dropped, rank_perm=rank_perm,
+                   n_dropped=n_dropped,
+                   n_dropped_large=jnp.asarray(n_dropped_large, jnp.int32),
+                   rank_perm=rank_perm,
                    rank_key=rank_key)
 
 

@@ -892,4 +892,5 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     # length, so an oversized hand-set ceiling taxes every step.
     return {"image": image, "alpha": alpha, "depth": depth,
             "n_dropped": jax.lax.stop_gradient(b.n_dropped),
+            "n_dropped_large": jax.lax.stop_gradient(b.n_dropped_large),
             "n_live": jax.lax.stop_gradient(b.n_live)}

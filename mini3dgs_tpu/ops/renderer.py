@@ -153,4 +153,8 @@ def render(gaussians: Gaussians, camera: Camera,
         # live instance-stream occupancy (Pallas path; 0 on golden) — the
         # trainer's auto max_instances sizing reads it
         "n_live": out.get("n_live", jnp.int32(0)),
+        # large-pool (two-level C_L) share of n_dropped -- a different
+        # capacity knob (large_capacity): the auto-sizer must grow it, not
+        # the stream, when this is the nonzero component
+        "n_dropped_large": out.get("n_dropped_large", jnp.int32(0)),
     }

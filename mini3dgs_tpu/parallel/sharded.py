@@ -189,6 +189,9 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
             parts = dict(parts)
             parts["render_drops"] = jax.lax.psum(
                 jnp.asarray(out.get("n_dropped", 0), jnp.float32), "tile")
+            if "n_dropped_large" in out:
+                parts["render_drops_large"] = jax.lax.psum(
+                    jnp.asarray(out["n_dropped_large"], jnp.float32), "tile")
             if "reshard_drops" in out:  # ring v3 row drops (distinct unit)
                 parts["reshard_drops"] = jax.lax.psum(
                     jnp.asarray(out["reshard_drops"], jnp.float32), "tile")
@@ -283,6 +286,7 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
         out = _render_band(g, camera, settings, band_h, row0,
                            shard_axis="tile", n_shards=n_tile)
         out.pop("n_dropped", None)
+        out.pop("n_dropped_large", None)
         out.pop("n_live", None)
         out.pop("reshard_drops", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
@@ -457,6 +461,9 @@ def make_gauss_sharded_train_step(config: TrainingConfig,
             parts = dict(parts)
             parts["render_drops"] = jax.lax.psum(
                 jnp.asarray(out.get("n_dropped", 0), jnp.float32), "tile")
+            if "n_dropped_large" in out:
+                parts["render_drops_large"] = jax.lax.psum(
+                    jnp.asarray(out["n_dropped_large"], jnp.float32), "tile")
             if "reshard_drops" in out:  # ring v3 row drops (distinct unit)
                 parts["reshard_drops"] = jax.lax.psum(
                     jnp.asarray(out["reshard_drops"], jnp.float32), "tile")
@@ -574,6 +581,7 @@ def make_gauss_sharded_render(settings: RenderSettings, mesh: Mesh,
         out = _render_band(None, camera, settings, band_h, row0,
                            shard_axis="tile", n_shards=n_tile, proj=proj)
         out.pop("n_dropped", None)
+        out.pop("n_dropped_large", None)
         out.pop("n_live", None)
         out.pop("reshard_drops", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)

@@ -90,6 +90,7 @@ def make_step_body(config: TrainingConfig,
                                      config.lambda_dssim)
         parts = dict(parts)
         parts["render_drops"] = out["n_dropped"]
+        parts["render_drops_large"] = out["n_dropped_large"]
         parts["render_instances"] = out["n_live"]
         return total, (parts, out["visibility_filter"], out["radii"])
 
@@ -180,7 +181,8 @@ def make_train_loop(config: TrainingConfig, settings: RenderSettings,
             # WINDOW MAX for the stream-health metrics (a transient overflow
             # or occupancy spike on an interior step must not hide behind
             # the last step's value — the auto-sizer reads these)
-            for k in ("render_drops", "render_instances"):
+            for k in ("render_drops", "render_drops_large",
+                      "render_instances"):
                 if k in m:
                     m[k] = jnp.maximum(m[k], prev[k])
             return st, m
@@ -560,6 +562,7 @@ class GaussianTrainer:
         k = self.settings.max_instances
         inst = float(inst)
         drops = float(metrics.get("render_drops", 0.0))
+        large_drops = float(metrics.get("render_drops_large", 0.0))
         # Between log boundaries the single-dispatch path accumulates the
         # window's device-side metric refs (ADVICE r4: per-camera instance
         # counts vary widely — sampling only the log step hid interior
@@ -567,16 +570,34 @@ class GaussianTrainer:
         # stack+max dispatch and one host fetch per log window — never a
         # per-step sync.
         if self._window_obs:
-            for kk, cur in (("render_instances", inst),
-                            ("render_drops", drops)):
+            acc = {"render_instances": inst, "render_drops": drops,
+                   "render_drops_large": large_drops}
+            for kk in acc:
                 vals = [o[kk] for o in self._window_obs if kk in o]
                 if vals:
-                    cur = max(cur, float(jnp.max(jnp.stack(vals))))
-                if kk == "render_instances":
-                    inst = cur
-                else:
-                    drops = cur
+                    acc[kk] = max(acc[kk], float(jnp.max(jnp.stack(vals))))
+            inst = acc["render_instances"]
+            drops = acc["render_drops"]
+            large_drops = acc["render_drops_large"]
             self._window_obs = []
+        # Large-pool overflow is a DIFFERENT capacity knob: growing the
+        # stream would never fix it (and would double max_instances every
+        # window, unbounded).  Grow large_capacity instead; the remaining
+        # stream-drop component below sizes the stream.
+        drops = drops - large_drops
+        if large_drops > 0:
+            cap = self.state.gaussians.capacity
+            eff = (self.settings.large_capacity
+                   or min(-(-max(cap // 8, 256) // 128) * 128, cap))
+            new_lc = min(2 * eff, cap)
+            if new_lc != eff:
+                print(f"[auto_large_capacity] {eff} -> {new_lc} "
+                      f"(large-pool drops {large_drops:.0f}; rebuilding "
+                      f"jitted steps)", flush=True)
+                self.settings = self.settings.replace(large_capacity=new_lc)
+                self._train_steps = {}
+                self._train_loops = {}
+                self._eval_renderers = {}
         self._occupancy_hist = (self._occupancy_hist + [inst / k])[-8:]
         floor = max(1 << 16, 4 * self.settings.gaussian_chunk)
         new_k = k
@@ -735,7 +756,8 @@ class GaussianTrainer:
                     # per-step float() would sync the async pipeline)
                     self._window_obs.append(
                         {k: metrics[k] for k in ("render_instances",
-                                                 "render_drops")
+                                                 "render_drops",
+                                                 "render_drops_large")
                          if k in metrics})
             if density.should_densify(it, self.config):
                 self._key, sub = jax.random.split(self._key)

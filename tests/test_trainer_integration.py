@@ -415,3 +415,57 @@ def test_load_compacted_checkpoint(tmp_path):
     m = t2.train_step(t2.train_cameras()[0].replace(uid=0, image_name=""))
     assert np.isfinite(float(m["total_loss"]))
     assert t2._state_compacted
+
+
+def test_resize_routes_large_pool_drops_to_large_capacity(tmp_path):
+    """Large-pool (two-level C_L) overflow must grow large_capacity, NOT
+    the stream: before round 5 both drop kinds were summed into
+    render_drops, so a large-pool overflow would double max_instances
+    every window forever without ever fixing the drops."""
+    t = _pallas_trainer(tmp_path, max_instances=4096)
+    t._stream_probed = True
+    k0 = t.settings.max_instances
+    # pin an explicit small pool (the tiny test capacity makes the auto
+    # default C//8-with-floor already equal to capacity, where growth
+    # correctly no-ops)
+    t.settings = t.settings.replace(large_capacity=128)
+    t._occupancy_hist = []
+    t._maybe_resize_stream({"render_instances": 100.0,
+                            "render_drops": 7.0,
+                            "render_drops_large": 7.0})
+    assert t.settings.max_instances == k0       # stream NOT doubled
+    assert t.settings.large_capacity == 256     # large pool doubled
+    lc1 = t.settings.large_capacity
+    # stream-only drops still double the stream
+    t._maybe_resize_stream({"render_instances": 100.0,
+                            "render_drops": 5.0,
+                            "render_drops_large": 0.0})
+    assert t.settings.max_instances == 2 * k0
+    assert t.settings.large_capacity == lc1
+
+
+def test_render_reports_large_pool_drops():
+    """A scene of many >2x2-tile splats against a tiny large_capacity must
+    surface the overflow in n_dropped_large (and include it in n_dropped's
+    total), finitely."""
+    from mini3dgs_tpu.ops.renderer import RenderSettings, render
+    from tests.test_raster_pallas import make_gaussians
+    from tests.test_render_golden import identity_camera
+
+    rng = np.random.default_rng(2)
+    n = 300
+    xyz = np.concatenate([rng.uniform(-0.3, 0.3, (n, 2)),
+                          rng.uniform(0.9, 1.1, (n, 1))], axis=1)
+    sig = np.full((n, 3), 0.6, np.float32)       # huge on screen
+    gs = make_gaussians(xyz.astype(np.float32), sig,
+                        rng.uniform(0, 1, (n, 3)).astype(np.float32),
+                        np.full(n, 0.6, np.float32))
+    cam = identity_camera(128, 128, 70.0)
+    s = RenderSettings(image_height=128, image_width=128, use_pallas=True,
+                       max_instances=1 << 15, gaussian_chunk=32,
+                       large_capacity=128)       # C_L = 128 < 300 large
+    out = render(gs, cam, s)
+    nd, ndl = int(out["n_dropped"]), int(out["n_dropped_large"])
+    assert ndl > 0
+    assert nd >= ndl
+    assert np.all(np.isfinite(np.asarray(out["image"])))

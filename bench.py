@@ -144,11 +144,24 @@ def build_trained(config_yaml="configs/sdf_tex_30k.yaml"):
     settings = trainer.settings.replace(sh_degree=trainer.active_sh_degree())
     # probe occupancy at the training-run stream size, then size the bench
     # stream to the observed instance count (chunk-rounded, 25% headroom)
-    probe = jax.jit(lambda gg, cc: render(gg, cc, settings)["n_live"])
-    n_live = int(probe(g, cam))
+    probe = jax.jit(lambda gg, cc: render(gg, cc, settings))(g, cam)
+    n_live = int(probe["n_live"])
     G = settings.gaussian_chunk
     k = ((int(n_live * 1.25) + G - 1) // G) * G
     settings = settings.replace(max_instances=k)
+    # ... and the large-splat pool to the observed span>2x2 census (same
+    # probe): candidate-sort cost is linear in the STATIC pool size, and a
+    # config-carried value sized for mid-training can tax a compacted
+    # checkpoint (round-5: the auto trainer sizes this at train() start)
+    from mini3dgs_tpu.ops.binning import plan_two_level
+    two_level, eff_lc, _ = plan_two_level(
+        g.capacity, settings.image_height, settings.image_width,
+        settings.tile_size, settings.radius_max,
+        settings.max_dup_per_axis, settings.large_capacity)
+    n_large = int(probe["n_large"])
+    lc = max(-(-int(n_large * 1.25) // 128) * 128, 256)
+    if two_level and lc < eff_lc:
+        settings = settings.replace(large_capacity=lc)
     n_dropped = int(jax.jit(
         lambda gg, cc: render(gg, cc, settings)["n_dropped"])(g, cam))
     info = {"checkpoint_iteration": it,
@@ -157,6 +170,8 @@ def build_trained(config_yaml="configs/sdf_tex_30k.yaml"):
             "n_alive": int(g.num_alive()),
             "trained_instances": n_live,
             "trained_max_instances": k,
+            "trained_n_large": n_large,
+            "trained_large_capacity": int(settings.large_capacity),
             "trained_n_dropped": n_dropped,
             "height": cam.height, "width": cam.width}
     return make_chain(g, cam, settings, target), info

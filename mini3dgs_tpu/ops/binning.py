@@ -73,6 +73,11 @@ class Binning(NamedTuple):
     # a DIFFERENT capacity knob than the stream (large_capacity vs
     # max_instances) — the auto-sizer must grow the right one
     n_dropped_large: jnp.ndarray = 0
+    # large-pool OCCUPANCY: gaussians classified large (span > _SMALL_SPAN)
+    # this render, i.e. how many of the C_L compaction slots are needed.
+    # Lets the auto-sizer SHRINK large_capacity (drops alone can only say
+    # "grow"); 0 when emission is single-level.
+    n_large: jnp.ndarray = 0
 
     @property
     def live(self) -> jnp.ndarray:
@@ -395,7 +400,8 @@ def _emit_two_level(tx0, ty0, sx, sy, ok, rank, C_key, tiles_x, per_axis,
     attributes and the matching per-Gaussian emitted counts (defaults to
     the span product).  Returns (cand_flat [N*4 + C_L*per_axis**2],
     drop_large: instances of large gaussians beyond the C_L compaction
-    capacity)."""
+    capacity, n_large: count of gaussians classified large — the C_L
+    occupancy the auto-sizer reads)."""
     N = tx0.shape[0]
     small = ok & (sx <= _SMALL_SPAN) & (sy <= _SMALL_SPAN)
     large = ok & ~small
@@ -429,7 +435,8 @@ def _emit_two_level(tx0, ty0, sx, sy, ok, rank, C_key, tiles_x, per_axis,
     emitted_large = jnp.sum((k_large != _INT32_MAX).astype(jnp.int32))
     drop_large = jnp.sum(jnp.where(large, counts, 0)) - emitted_large
     cand_flat = jnp.concatenate([k_small.reshape(-1), k_large.reshape(-1)])
-    return cand_flat, drop_large
+    n_large = jnp.sum(large.astype(jnp.int32))
+    return cand_flat, drop_large, n_large
 
 
 def _emission_plan(C, per_axis, tiles_x, num_tiles, large_capacity):
@@ -449,6 +456,22 @@ def _emission_plan(C, per_axis, tiles_x, num_tiles, large_capacity):
                  and C * S * S + C_L * MAX_DUP < C * MAX_DUP)
     n_cand = C * S * S + C_L * MAX_DUP if two_level else C * MAX_DUP
     return two_level, C_L, n_cand
+
+
+def plan_two_level(C, H, W, tile_size, radius_max=50.0, max_dup_per_axis=0,
+                   large_capacity=0):
+    """Host-side view of the static two-level emission decision for a
+    single-device [H, W] render: returns (two_level, C_L, n_cand) exactly
+    as `bin_gaussians` will see them.  The trainer's auto large_capacity
+    sizer uses this to know the EFFECTIVE pool size (large_capacity=0 means
+    the C/8 default) and whether the pool exists at all (no pointless
+    shrink/recompile cycles when emission is single-level)."""
+    tiles_x = -(-W // tile_size)
+    tiles_y = -(-H // tile_size)
+    per_axis = _per_axis_bound(radius_max, tile_size, max_dup_per_axis,
+                               tiles_x, tiles_y)
+    return _emission_plan(C, per_axis, tiles_x, tiles_x * tiles_y,
+                          large_capacity)
 
 
 @partial(jax.jit, static_argnames=("H", "W", "tile_size", "max_instances",
@@ -522,8 +545,9 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
     # order, so the source Gaussian id is recoverable AFTER the sort
     # (gid = order[key % C]) — no payload operand: minimum sort bandwidth.
     drop_large = jnp.int32(0)
+    n_large = jnp.int32(0)
     if two_level:
-        cand_flat, drop_large = _emit_two_level(
+        cand_flat, drop_large, n_large = _emit_two_level(
             tx0, ty0, sx, sy, ok, rank, C, tiles_x, per_axis, C_L,
             ex=ex, tile_size=tile_size, counts=counts_gid)
     elif packed_key:
@@ -565,7 +589,7 @@ def bin_gaussians(proj: Projected, H: int, W: int, tile_size: int,
 
     return _layout(s_tile, s_rank, order, inv_order, rank_counts,
                    seg_start_gid, counts_gid, num_tiles, n_dropped,
-                   n_dropped_large=drop_large)
+                   n_dropped_large=drop_large, n_large=n_large)
 
 
 def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
@@ -649,16 +673,22 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
         if ex is not None:
             counts_sl = _grid_counts(sl(tx0), sl(ty0), sl(sx), sl(sy),
                                      ex_sl, per_axis, tile_size)
-        cand_flat, drop_large = _emit_two_level(
+        cand_flat, drop_large, n_large = _emit_two_level(
             sl(tx0), sl(ty0), sl(sx), sl(sy), sl(ok), sl(rank), C,
             gtx, per_axis, C_L_l, ex=ex_sl, tile_size=tile_size,
             counts=counts_sl)
         drop_large = jax.lax.psum(drop_large, axis_name)
+        # gid-shard emission: each shard compacts its OWN larges into its
+        # own C_L_l slots, so the sizing-relevant occupancy is the max
+        # over shards, not the sum (all_gather of one int; lax.pmax of a
+        # 0-d operand breaks inside shard_map on this jax version)
+        n_large = jnp.max(jax.lax.all_gather(n_large, axis_name))
     else:
         cand_flat = _emit_grid(sl(tx0), sl(ty0), sl(sx), sl(sy), sl(rank),
                                C, gtx, per_axis, ex=ex_sl,
                                tile_size=tile_size).reshape(-1)
         drop_large = jnp.int32(0)
+        n_large = jnp.int32(0)
     s_local = jax.lax.sort(cand_flat)
 
     # ---- per-band segments (bands are contiguous global-tile-id ranges) --
@@ -704,7 +734,7 @@ def bin_gaussians_sharded(proj: Projected, H: int, W: int, tile_size: int,
 
     return _layout(s_tile, s_rank, order, inv_order, rank_counts,
                    seg_start_gid, counts_gid, num_tiles_band, n_dropped,
-                   n_dropped_large=drop_large)
+                   n_dropped_large=drop_large, n_large=n_large)
 
 
 class RingBinning(NamedTuple):
@@ -798,7 +828,7 @@ def bin_gaussians_ring_origin(proj: Projected, full_h: int, full_w: int,
     two_level, C_L, n_cand = _emission_plan(C, per_axis, gtx, total_tiles,
                                             large_capacity)
     if two_level:
-        cand_flat, drop_large = _emit_two_level(
+        cand_flat, drop_large, _ = _emit_two_level(
             tx0, ty0, sx, sy, ok, rank, C, gtx, per_axis, C_L,
             ex=ex, tile_size=tile_size, counts=counts_gid)
     else:
@@ -1100,7 +1130,7 @@ def bin_gaussians_ring_origin_resharded(
     two_level, C_L, n_cand = _emission_plan(Cs, per_axis, gtx, total_tiles,
                                             C_L_v1)
     if two_level:
-        cand_flat, drop_large = _emit_two_level(
+        cand_flat, drop_large, _ = _emit_two_level(
             tx0, ty0, sx, sy, ok, rank_arr, C, gtx, per_axis, C_L,
             ex=ex, tile_size=tile_size, counts=counts)
     else:
@@ -1159,7 +1189,8 @@ def bin_gaussians_ring_origin_resharded(
 
 
 def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
-            counts_gid, num_tiles, n_dropped, n_dropped_large=0) -> Binning:
+            counts_gid, num_tiles, n_dropped, n_dropped_large=0,
+            n_large=0) -> Binning:
     """Per-tile ranges of the sorted (tile, rank) compact instance stream.
     Shared by the replicated and the gauss-sharded binning paths.  Invalid
     (INT32_MAX-key) slots carry tile sentinel `num_tiles` and sort to the
@@ -1189,6 +1220,7 @@ def _layout(s_tile, s_rank, order, inv_order, rank_counts, seg_start_gid,
                    tile_start=start, tile_count=count, n_live=n_live,
                    n_dropped=n_dropped,
                    n_dropped_large=jnp.asarray(n_dropped_large, jnp.int32),
+                   n_large=jnp.asarray(n_large, jnp.int32),
                    rank_perm=rank_perm,
                    rank_key=rank_key)
 

@@ -893,4 +893,5 @@ def rasterize_tiles(proj: Projected, H: int, W: int, bg: jnp.ndarray, *,
     return {"image": image, "alpha": alpha, "depth": depth,
             "n_dropped": jax.lax.stop_gradient(b.n_dropped),
             "n_dropped_large": jax.lax.stop_gradient(b.n_dropped_large),
+            "n_large": jax.lax.stop_gradient(b.n_large),
             "n_live": jax.lax.stop_gradient(b.n_live)}

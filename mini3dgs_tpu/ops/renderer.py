@@ -157,4 +157,8 @@ def render(gaussians: Gaussians, camera: Camera,
         # capacity knob (large_capacity): the auto-sizer must grow it, not
         # the stream, when this is the nonzero component
         "n_dropped_large": out.get("n_dropped_large", jnp.int32(0)),
+        # large-pool OCCUPANCY (gaussians with tile span > 2x2 this render;
+        # Pallas two-level path only) — the auto large_capacity sizer reads
+        # it to shrink oversized pools, which drops alone cannot signal
+        "n_large": out.get("n_large", jnp.int32(0)),
     }

@@ -202,6 +202,11 @@ def make_sharded_train_step(config: TrainingConfig, settings: RenderSettings,
                 # (VERDICT r4 next #5: enable auto_max_instances under a mesh)
                 parts["render_instances"] = jax.lax.pmax(jax.lax.pmax(
                     jnp.asarray(out["n_live"], jnp.float32), "tile"), "data")
+            if "n_large" in out:
+                # large-pool occupancy: per-device pools, so max not sum
+                # (round-5 auto large_capacity shrink signal)
+                parts["render_n_large"] = jax.lax.pmax(jax.lax.pmax(
+                    jnp.asarray(out["n_large"], jnp.float32), "tile"), "data")
             return total, (parts, jax.lax.stop_gradient(proj.radius),
                            jax.lax.stop_gradient(proj.visible))
 
@@ -287,6 +292,7 @@ def make_sharded_render(settings: RenderSettings, mesh: Mesh) -> Callable:
                            shard_axis="tile", n_shards=n_tile)
         out.pop("n_dropped", None)
         out.pop("n_dropped_large", None)
+        out.pop("n_large", None)
         out.pop("n_live", None)
         out.pop("reshard_drops", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)
@@ -474,6 +480,11 @@ def make_gauss_sharded_train_step(config: TrainingConfig,
                 # (VERDICT r4 next #5: enable auto_max_instances under a mesh)
                 parts["render_instances"] = jax.lax.pmax(jax.lax.pmax(
                     jnp.asarray(out["n_live"], jnp.float32), "tile"), "data")
+            if "n_large" in out:
+                # large-pool occupancy: per-device pools, so max not sum
+                # (round-5 auto large_capacity shrink signal)
+                parts["render_n_large"] = jax.lax.pmax(jax.lax.pmax(
+                    jnp.asarray(out["n_large"], jnp.float32), "tile"), "data")
             return total, (parts,
                            jax.lax.stop_gradient(own(proj_slice.radius)),
                            jax.lax.stop_gradient(own(proj_slice.visible)))
@@ -582,6 +593,7 @@ def make_gauss_sharded_render(settings: RenderSettings, mesh: Mesh,
                            shard_axis="tile", n_shards=n_tile, proj=proj)
         out.pop("n_dropped", None)
         out.pop("n_dropped_large", None)
+        out.pop("n_large", None)
         out.pop("n_live", None)
         out.pop("reshard_drops", None)
         stack = {k: jax.lax.all_gather(v, "tile", axis=0, tiled=False)

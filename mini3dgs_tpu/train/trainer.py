@@ -92,6 +92,7 @@ def make_step_body(config: TrainingConfig,
         parts["render_drops"] = out["n_dropped"]
         parts["render_drops_large"] = out["n_dropped_large"]
         parts["render_instances"] = out["n_live"]
+        parts["render_n_large"] = out["n_large"]
         return total, (parts, out["visibility_filter"], out["radii"])
 
     def train_step(state: TrainState, camera: Camera,
@@ -182,7 +183,7 @@ def make_train_loop(config: TrainingConfig, settings: RenderSettings,
             # or occupancy spike on an interior step must not hide behind
             # the last step's value — the auto-sizer reads these)
             for k in ("render_drops", "render_drops_large",
-                      "render_instances"):
+                      "render_instances", "render_n_large"):
                 if k in m:
                     m[k] = jnp.maximum(m[k], prev[k])
             return st, m
@@ -340,6 +341,7 @@ class GaussianTrainer:
         self._train_loops = {}      # (sh degree, K) -> jitted K-step loop
         self._cams_device = None    # device-resident stacked camera pytree
         self._occupancy_hist = []   # stream-occupancy samples (auto sizing)
+        self._large_occ_hist = []   # large-pool occupancy samples (ditto)
         self._window_obs = []       # device-side per-step metric refs
         self._eval_renderers = {}
         self._densify_step = None
@@ -563,6 +565,7 @@ class GaussianTrainer:
         inst = float(inst)
         drops = float(metrics.get("render_drops", 0.0))
         large_drops = float(metrics.get("render_drops_large", 0.0))
+        n_large = float(metrics.get("render_n_large", 0.0))
         # Between log boundaries the single-dispatch path accumulates the
         # window's device-side metric refs (ADVICE r4: per-camera instance
         # counts vary widely — sampling only the log step hid interior
@@ -571,7 +574,8 @@ class GaussianTrainer:
         # per-step sync.
         if self._window_obs:
             acc = {"render_instances": inst, "render_drops": drops,
-                   "render_drops_large": large_drops}
+                   "render_drops_large": large_drops,
+                   "render_n_large": n_large}
             for kk in acc:
                 vals = [o[kk] for o in self._window_obs if kk in o]
                 if vals:
@@ -579,25 +583,54 @@ class GaussianTrainer:
             inst = acc["render_instances"]
             drops = acc["render_drops"]
             large_drops = acc["render_drops_large"]
+            n_large = acc["render_n_large"]
             self._window_obs = []
         # Large-pool overflow is a DIFFERENT capacity knob: growing the
         # stream would never fix it (and would double max_instances every
         # window, unbounded).  Grow large_capacity instead; the remaining
         # stream-drop component below sizes the stream.
         drops = drops - large_drops
+        cap = self.state.gaussians.capacity
+        from ..ops.binning import plan_two_level
+        two_level, eff_lc, _ = plan_two_level(
+            cap, self.settings.image_height, self.settings.image_width,
+            self.settings.tile_size, self.settings.radius_max,
+            self.settings.max_dup_per_axis, self.settings.large_capacity)
         if large_drops > 0:
-            cap = self.state.gaussians.capacity
-            eff = (self.settings.large_capacity
-                   or min(-(-max(cap // 8, 256) // 128) * 128, cap))
-            new_lc = min(2 * eff, cap)
-            if new_lc != eff:
-                print(f"[auto_large_capacity] {eff} -> {new_lc} "
+            new_lc = min(2 * eff_lc, cap)
+            if new_lc != eff_lc:
+                print(f"[auto_large_capacity] {eff_lc} -> {new_lc} "
                       f"(large-pool drops {large_drops:.0f}; rebuilding "
                       f"jitted steps)", flush=True)
                 self.settings = self.settings.replace(large_capacity=new_lc)
                 self._train_steps = {}
                 self._train_loops = {}
                 self._eval_renderers = {}
+                self._large_occ_hist = []
+        elif two_level and self.mesh is None:
+            # Shrink an oversized pool exactly like the stream: 8
+            # consecutive window maxima under 35% occupancy halve it
+            # (hysteresis; 128-aligned, floor 256).  Per-step candidate-sort
+            # cost is linear in C_L (PERF.md round-5: a hand-set 131072-slot
+            # pool was 68% of the compacted tex-scene capacity), so dead
+            # slots tax every remaining step.  Mesh paths derive a per-shard
+            # plan (C/n) — sizing from the replicated plan would be wrong,
+            # so shrink stays single-device.
+            self._large_occ_hist = (self._large_occ_hist
+                                    + [n_large / eff_lc])[-8:]
+            if (len(self._large_occ_hist) == 8
+                    and max(self._large_occ_hist) < 0.35
+                    and eff_lc // 2 >= 256):
+                new_lc = max(-(-(eff_lc // 2) // 128) * 128, 256)
+                print(f"[auto_large_capacity] {eff_lc} -> {new_lc} "
+                      f"(large-pool occupancy "
+                      f"{max(self._large_occ_hist):.2f}; rebuilding jitted "
+                      f"steps)", flush=True)
+                self.settings = self.settings.replace(large_capacity=new_lc)
+                self._train_steps = {}
+                self._train_loops = {}
+                self._eval_renderers = {}
+                self._large_occ_hist = []
         self._occupancy_hist = (self._occupancy_hist + [inst / k])[-8:]
         floor = max(1 << 16, 4 * self.settings.gaussian_chunk)
         new_k = k
@@ -637,10 +670,19 @@ class GaussianTrainer:
         self._stream_probed = True
         cam = cams[0].replace(uid=0, image_name="")
         g = self.state.gaussians
-        for _ in range(4):
+        from ..ops.binning import plan_two_level
+
+        def _plan(settings):
+            return plan_two_level(
+                g.capacity, settings.image_height, settings.image_width,
+                settings.tile_size, settings.radius_max,
+                settings.max_dup_per_axis, settings.large_capacity)
+
+        for _ in range(6):
             st = self.settings.replace(sh_degree=self.active_sh_degree())
             out = jax.jit(lambda gg, cc: render(gg, cc, st))(g, cam)
             n_live = int(out["n_live"])
+            large_drops = int(out["n_dropped_large"])
             if int(out["n_dropped"]) == 0:
                 G = self.settings.gaussian_chunk
                 floor = max(1 << 16, 4 * G)
@@ -653,9 +695,30 @@ class GaussianTrainer:
                     self._train_steps = {}
                     self._train_loops = {}
                     self._eval_renderers = {}
+                # Size the large pool off the same probe (shrink only —
+                # growth is the overflow loop's job): a hand-set or stale
+                # large_capacity taxes the candidate sort every step.
+                two_level, eff_lc, _ = _plan(self.settings)
+                n_large = int(out["n_large"])
+                lc = max(-(-int(n_large * 1.5) // 128) * 128, 256)
+                if two_level and lc < eff_lc:
+                    print(f"[auto_large_capacity] initial probe: "
+                          f"{n_large} large -> pool {eff_lc} -> {lc}",
+                          flush=True)
+                    self.settings = self.settings.replace(large_capacity=lc)
+                    self._train_steps = {}
+                    self._train_loops = {}
+                    self._eval_renderers = {}
                 return
-            self.settings = self.settings.replace(
-                max_instances=2 * self.settings.max_instances)
+            if large_drops > 0:
+                # large-pool overflow: doubling the stream can never clear
+                # it — grow the pool knob (mirrors _maybe_resize_stream)
+                _, eff_lc, _ = _plan(st)
+                self.settings = self.settings.replace(
+                    large_capacity=min(2 * eff_lc, g.capacity))
+            else:
+                self.settings = self.settings.replace(
+                    max_instances=2 * self.settings.max_instances)
             self._train_steps = {}
             self._train_loops = {}
             self._eval_renderers = {}
@@ -757,7 +820,8 @@ class GaussianTrainer:
                     self._window_obs.append(
                         {k: metrics[k] for k in ("render_instances",
                                                  "render_drops",
-                                                 "render_drops_large")
+                                                 "render_drops_large",
+                                                 "render_n_large")
                          if k in metrics})
             if density.should_densify(it, self.config):
                 self._key, sub = jax.random.split(self._key)

@@ -469,3 +469,93 @@ def test_render_reports_large_pool_drops():
     assert ndl > 0
     assert nd >= ndl
     assert np.all(np.isfinite(np.asarray(out["image"])))
+
+
+def test_render_reports_large_pool_occupancy():
+    """`n_large` (round-5) is the large-pool occupancy: the count of
+    visible gaussians with tile span > 2x2 this render — every splat in
+    the huge-splat scene above, and zero in a small-splat scene.  The auto
+    large_capacity sizer shrinks from it (drops alone can only grow)."""
+    from mini3dgs_tpu.ops.renderer import RenderSettings, render
+    from tests.test_raster_pallas import make_gaussians
+    from tests.test_render_golden import identity_camera
+
+    rng = np.random.default_rng(3)
+    n = 300
+    xyz = np.concatenate([rng.uniform(-0.3, 0.3, (n, 2)),
+                          rng.uniform(0.9, 1.1, (n, 1))], axis=1)
+    cam = identity_camera(128, 128, 70.0)
+    s = RenderSettings(image_height=128, image_width=128, use_pallas=True,
+                       max_instances=1 << 15, gaussian_chunk=32)
+    big = make_gaussians(xyz.astype(np.float32),
+                         np.full((n, 3), 0.6, np.float32),
+                         rng.uniform(0, 1, (n, 3)).astype(np.float32),
+                         np.full(n, 0.6, np.float32))
+    assert int(render(big, cam, s)["n_large"]) == n
+    small = make_gaussians(xyz.astype(np.float32),
+                           np.full((n, 3), 0.005, np.float32),
+                           rng.uniform(0, 1, (n, 3)).astype(np.float32),
+                           np.full(n, 0.6, np.float32))
+    assert int(render(small, cam, s)["n_large"]) == 0
+
+
+def test_auto_large_pool_shrinks_and_regrows(tmp_path):
+    """Round-5: sustained low large-pool occupancy must shrink
+    large_capacity (8 consecutive window maxima < 35%, halve, floor 256)
+    — per-step candidate-sort cost is linear in the STATIC pool size — and
+    a later overflow must grow it back.  Exercised through the real sizer
+    with fabricated window metrics (the plan decision is the real one)."""
+    from mini3dgs_tpu.ops.binning import plan_two_level
+
+    t = _pallas_trainer(tmp_path, max_instances=4096)
+    t._stream_probed = True
+    g = create_from_random(jax.random.PRNGKey(3), 64, scene_extent=0.8,
+                           capacity=4096)
+    t.state = t.state.replace(gaussians=g)
+    t.settings = t.settings.replace(image_height=128, image_width=128)
+    two, eff, _ = plan_two_level(4096, 128, 128, t.settings.tile_size,
+                                 t.settings.radius_max,
+                                 t.settings.max_dup_per_axis, 0)
+    assert two and eff == 512            # C/8 default, two-level active
+    m = {"render_instances": 100.0, "render_drops": 0.0,
+         "render_drops_large": 0.0, "render_n_large": 10.0}
+    for _ in range(7):
+        t._maybe_resize_stream(dict(m))
+        assert t.settings.large_capacity == 0    # hysteresis: not yet
+    t._maybe_resize_stream(dict(m))
+    assert t.settings.large_capacity == 256      # 512 -> 256 (floor)
+    # floor reached: further low-occupancy windows must NOT keep
+    # shrink-recompiling
+    for _ in range(9):
+        t._maybe_resize_stream(dict(m))
+    assert t.settings.large_capacity == 256
+    # later overflow grows it back
+    t._maybe_resize_stream({"render_instances": 100.0, "render_drops": 3.0,
+                            "render_drops_large": 3.0,
+                            "render_n_large": 300.0})
+    assert t.settings.large_capacity == 512
+
+
+def test_probe_sizes_large_pool(tmp_path):
+    """The initial probe render must also size the LARGE pool: an
+    all-small-splat scene leaves the C/8 default pool nearly empty, and
+    the probe shrinks it before the first step (the runtime sizer would
+    pay 8 windows of tax first)."""
+    size = 128
+    cfg = TrainingConfig(
+        capacity=4096, image_height=size, image_width=size, use_pallas=True,
+        max_instances=1 << 16, gaussian_chunk=32,
+        iterations=100, densify_from_iter=10 ** 9, densify_interval=10,
+        opacity_reset_interval=0, log_interval=10, eval_interval=10 ** 9,
+        save_interval=10 ** 9, output_path=str(tmp_path))
+    ds = RandomDataset(n_cameras=1, width=size, height=size)
+    ds.load_cameras()
+    settings = RenderSettings(image_height=size, image_width=size,
+                              use_pallas=True, max_instances=1 << 16,
+                              gaussian_chunk=32)
+    init = create_from_random(jax.random.PRNGKey(0), 200, scene_extent=0.4,
+                              capacity=4096)
+    t = GaussianTrainer(cfg, settings)
+    t.setup(dataset=ds, gaussians=init)
+    t._auto_size_stream_initial()
+    assert t.settings.large_capacity == 256     # 512 default -> census-sized

@@ -6,8 +6,15 @@ clamped to [0,1] (loss.py:14-39; B11 fixed: forward *returns* mean D-SSIM =
 1 - mean(ssim)); total = (1-lambda)*L1 + lambda*D-SSIM with lambda = 0.2
 (loss.py:56-58).
 
-TPU notes: the two grouped 1-D convs lower to XLA convolutions that fuse well;
-everything is pure and jit/vjp friendly.
+TPU notes: the separable K=11 blur is an UNROLLED static-slice stencil (one
+fused weighted sum of 11 shifted views per direction), not an XLA
+convolution: f32 convs on TPU lower through bf16 multiply passes and
+layout-shuffled conv forms, which materialized ~11 ms/step of
+bf16<->f32 image round-trips in the trained trainer step (measured,
+docs/artifacts/trace_r5_trainer_postfix.md) against sub-ms of actual
+FLOPs.  The stencil stays in full f32 on the VPU, fuses with the
+SSIM map math, and its VJP is the same stencil transposed.  Everything
+is pure and jit/vjp friendly.
 """
 
 from __future__ import annotations
@@ -28,20 +35,34 @@ def _gaussian_window(window_size: int) -> jnp.ndarray:
     return g / g.sum()
 
 
+def _blur1d(img: jnp.ndarray, g1d: jnp.ndarray, axis: int,
+            mode: str = "same") -> jnp.ndarray:
+    """1-D blur along `axis` as an unrolled static-slice stencil:
+    out[x] = sum_k g[k] * in[x + k - pad] ('same', zero padding — identical
+    to torch grouped conv2d with padding=K//2, cross-correlation form) or
+    the 'valid' restriction (no padding).  Eleven shifted views fuse into
+    one elementwise chain; no XLA conv, no bf16 passes."""
+    K = g1d.shape[0]
+    pad = K // 2
+    if mode == "same":
+        cfg = [(0, 0)] * img.ndim
+        cfg[axis] = (pad, pad)
+        src = jnp.pad(img, cfg)
+        n_out = img.shape[axis]
+    else:  # valid
+        src = img
+        n_out = img.shape[axis] - 2 * pad
+    out = None
+    for k in range(K):
+        term = g1d[k] * jax.lax.slice_in_dim(src, k, k + n_out, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
 def _blur(img: jnp.ndarray, g1d: jnp.ndarray) -> jnp.ndarray:
     """Separable depthwise blur of [B,C,H,W] with 'same' zero padding
     (matches torch grouped conv2d with padding=K//2, loss.py:25-28)."""
-    K = g1d.shape[0]
-    pad = K // 2
-    ch = img.shape[1]
-    kx = jnp.tile(g1d.reshape(1, 1, 1, K), (ch, 1, 1, 1))  # [C,1,1,K]
-    ky = jnp.tile(g1d.reshape(1, 1, K, 1), (ch, 1, 1, 1))  # [C,1,K,1]
-    dn = jax.lax.conv_dimension_numbers(img.shape, kx.shape, ("NCHW", "OIHW", "NCHW"))
-    out = jax.lax.conv_general_dilated(img, kx, (1, 1), [(0, 0), (pad, pad)],
-                                       dimension_numbers=dn, feature_group_count=ch)
-    out = jax.lax.conv_general_dilated(out, ky, (1, 1), [(pad, pad), (0, 0)],
-                                       dimension_numbers=dn, feature_group_count=ch)
-    return out
+    return _blur1d(_blur1d(img, g1d, axis=3), g1d, axis=2)
 
 
 @partial(jax.jit, static_argnames=("window_size",))
@@ -91,21 +112,9 @@ def _blur_x_same_y_valid(img: jnp.ndarray, g1d: jnp.ndarray) -> jnp.ndarray:
     """x-direction 'same' blur then y-direction 'valid' blur of [B,C,H,W].
     On a band extended with HALO true neighbor rows (or zeros at the global
     border) this equals the global 'same'-padded separable blur restricted
-    to the band's own rows."""
-    K = g1d.shape[0]
-    pad = K // 2
-    ch = img.shape[1]
-    kx = jnp.tile(g1d.reshape(1, 1, 1, K), (ch, 1, 1, 1))
-    ky = jnp.tile(g1d.reshape(1, 1, K, 1), (ch, 1, 1, 1))
-    dn = jax.lax.conv_dimension_numbers(img.shape, kx.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    out = jax.lax.conv_general_dilated(img, kx, (1, 1), [(0, 0), (pad, pad)],
-                                       dimension_numbers=dn,
-                                       feature_group_count=ch)
-    out = jax.lax.conv_general_dilated(out, ky, (1, 1), [(0, 0), (0, 0)],
-                                       dimension_numbers=dn,
-                                       feature_group_count=ch)
-    return out
+    to the band's own rows.  Same unrolled-stencil form as `_blur1d` (and
+    the same summation order, so banded == full bit-for-reduction-order)."""
+    return _blur1d(_blur1d(img, g1d, axis=3), g1d, axis=2, mode="valid")
 
 
 def _halo_extend(band: jnp.ndarray, axis_name: str) -> jnp.ndarray:

@@ -12,18 +12,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """[..., 4] wxyz quaternion -> [..., 3, 3] rotation. Normalizes first."""
+def quat_to_rotmat_components(q: jnp.ndarray):
+    """[..., 4] wxyz quaternion -> the 9 rotation-matrix entries as a tuple
+    of [...] arrays (row-major r00..r22). Normalizes first.
+
+    Kept component-wise so hot paths (ops/projection.py) can stay in pure
+    elementwise VPU math: stacking into [...,3,3] and feeding einsum/dot
+    makes XLA lower batched 3x3 dots through bf16 operand passes and
+    materialize [C,3,3] layout copies (measured: ~8 ms/step of the trained
+    trainer trace, docs/artifacts/trace_r5_trainer_postfix.md)."""
     q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     ww, xx, yy, zz = w * w, x * x, y * y, z * z
     wx, wy, wz = w * x, w * y, w * z
     xy, xz, yz = x * y, x * z, y * z
-    R = jnp.stack([
-        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
-        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
-        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
-    ], axis=-1)
+    return (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy))
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] wxyz quaternion -> [..., 3, 3] rotation. Normalizes first."""
+    R = jnp.stack(quat_to_rotmat_components(q), axis=-1)
     return R.reshape(q.shape[:-1] + (3, 3))
 
 

@@ -75,10 +75,26 @@ def project_gaussians(g: Gaussians, camera: Camera, *,
     ypix = -fy * Y * invZ + cy
     means2d = jnp.stack([xpix, ypix], axis=-1)
 
-    # 3D covariance in camera frame: Sigma_cam = Rv Sigma Rv^T.
+    # 3D covariance in camera frame: Sigma_cam = Rv Sigma Rv^T
+    #                                          = (Rv R diag(s)) (Rv R diag(s))^T.
+    # Expanded per-component: batched [C,3,3] einsums lower to bf16-operand
+    # dots + layout copies on TPU (~8 ms/step at 193K slots in the trained
+    # trainer trace); the same math as 9+6 fused VPU elementwise chains
+    # never materializes a [C,3,3] array and keeps full f32.
     sigma = g.get_scaling * scale_modifier
-    cov3d = _cov3d(sigma, g.rotation)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", Rv, cov3d, Rv)
+    s0, s1, s2 = sigma[:, 0], sigma[:, 1], sigma[:, 2]
+    from ..core.transforms import quat_to_rotmat_components
+    r = quat_to_rotmat_components(g.rotation)  # 9 x [C], row-major
+    # B = Rv @ R, then columns scaled by s: b_il = (sum_j Rv[i,j] r_jl) * s_l
+    b = []
+    for i in range(3):
+        m0, m1, m2 = Rv[i, 0], Rv[i, 1], Rv[i, 2]
+        b.append(((m0 * r[0] + m1 * r[3] + m2 * r[6]) * s0,
+                  (m0 * r[1] + m1 * r[4] + m2 * r[7]) * s1,
+                  (m0 * r[2] + m1 * r[5] + m2 * r[8]) * s2))
+
+    def _dot3(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
 
     # 2D covariance via the projective Jacobian, expanded in closed form:
     # J = [[fx/Z, 0, -fx X/Z^2], [0, -fy/Z, fy Y/Z^2]]  (renderer.py:171-177)
@@ -86,8 +102,8 @@ def project_gaussians(g: Gaussians, camera: Camera, *,
     j02 = -fx * X * invZ2
     j11 = -fy * invZ
     j12 = fy * Y * invZ2
-    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    c00, c01, c02 = _dot3(b[0], b[0]), _dot3(b[0], b[1]), _dot3(b[0], b[2])
+    c11, c12, c22 = _dot3(b[1], b[1]), _dot3(b[1], b[2]), _dot3(b[2], b[2])
     # row0 of J @ Sigma_cam: [j00*c00 + j02*c02, j00*c01 + j02*c12, j00*c02 + j02*c22]
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + 1e-6
     b = j11 * (j00 * c01 + j02 * c12) + j12 * (j00 * c02 + j02 * c22)
@@ -148,8 +164,3 @@ def project_gaussians(g: Gaussians, camera: Camera, *,
                      ext_x=ext_x, ext_y=ext_y)
 
 
-def _cov3d(sigma: jnp.ndarray, rot_q: jnp.ndarray) -> jnp.ndarray:
-    from ..core.transforms import quat_to_rotmat
-    R = quat_to_rotmat(rot_q)
-    RS = R * (sigma[..., None, :] ** 2)
-    return jnp.einsum("...ij,...kj->...ik", RS, R)

@@ -610,18 +610,22 @@ class GaussianTrainer:
         elif two_level and self.mesh is None:
             # Shrink an oversized pool exactly like the stream: 8
             # consecutive window maxima under 35% occupancy halve it
-            # (hysteresis; 128-aligned, floor 256).  Per-step candidate-sort
-            # cost is linear in C_L (PERF.md round-5: a hand-set 131072-slot
-            # pool was 68% of the compacted tex-scene capacity), so dead
-            # slots tax every remaining step.  Mesh paths derive a per-shard
-            # plan (C/n) — sizing from the replicated plan would be wrong,
-            # so shrink stays single-device.
+            # (hysteresis; 128-aligned).  Per-step candidate-sort cost is
+            # linear in C_L (PERF.md round-5: a hand-set 131072-slot pool
+            # was 68% of the compacted tex-scene capacity), so dead slots
+            # tax every remaining step — but below ~16K slots the [C_L]
+            # stages cost ~0.1 ms, less than the recompile + transient drop
+            # step a shrink/regrow flip costs, so the shrink floor is 8192
+            # (measured thrash: a 20k tex run oscillated 6912->3456->6912
+            # with 3.5K drops on the regrow edge).  Mesh paths derive a
+            # per-shard plan (C/n) — sizing from the replicated plan would
+            # be wrong, so shrink stays single-device.
             self._large_occ_hist = (self._large_occ_hist
                                     + [n_large / eff_lc])[-8:]
             if (len(self._large_occ_hist) == 8
                     and max(self._large_occ_hist) < 0.35
-                    and eff_lc // 2 >= 256):
-                new_lc = max(-(-(eff_lc // 2) // 128) * 128, 256)
+                    and eff_lc // 2 >= 8192):
+                new_lc = max(-(-(eff_lc // 2) // 128) * 128, 8192)
                 print(f"[auto_large_capacity] {eff_lc} -> {new_lc} "
                       f"(large-pool occupancy "
                       f"{max(self._large_occ_hist):.2f}; rebuilding jitted "
@@ -700,7 +704,10 @@ class GaussianTrainer:
                 # large_capacity taxes the candidate sort every step.
                 two_level, eff_lc, _ = _plan(self.settings)
                 n_large = int(out["n_large"])
-                lc = max(-(-int(n_large * 1.5) // 128) * 128, 256)
+                # same 8192 floor as the runtime shrink: below ~16K slots
+                # the [C_L] stage cost is noise, and densification can
+                # multiply the census 10x past the probe within a window
+                lc = max(-(-int(n_large * 1.5) // 128) * 128, 8192)
                 if two_level and lc < eff_lc:
                     print(f"[auto_large_capacity] initial probe: "
                           f"{n_large} large -> pool {eff_lc} -> {lc}",

@@ -247,10 +247,10 @@ def test_k_step_loop_unaligned_resume(tmp_path):
     assert np.isfinite(t.train_losses[-1])
 
 
-def _pallas_trainer(tmp_path, max_instances, **cfg_kw):
-    size = 32
+def _pallas_trainer(tmp_path, max_instances, size=32, capacity=256, **cfg_kw):
     cfg = TrainingConfig(
-        capacity=256, image_height=size, image_width=size, use_pallas=True,
+        capacity=capacity, image_height=size, image_width=size,
+        use_pallas=True,
         max_instances=max_instances, gaussian_chunk=32,
         iterations=100, densify_from_iter=10 ** 9, densify_interval=10,
         opacity_reset_interval=0, log_interval=10, eval_interval=10 ** 9,
@@ -269,7 +269,7 @@ def _pallas_trainer(tmp_path, max_instances, **cfg_kw):
     ds.test_cameras = ds.train_cameras[:1]
     trainer = GaussianTrainer(cfg, settings)
     init = create_from_random(jax.random.PRNGKey(0), 80, scene_extent=0.8,
-                              capacity=256)
+                              capacity=capacity)
     trainer.setup(dataset=ds, gaussians=init)
     return trainer
 
@@ -444,6 +444,33 @@ def test_resize_routes_large_pool_drops_to_large_capacity(tmp_path):
     assert t.settings.large_capacity == lc1
 
 
+def test_large_pool_shrink_floor(tmp_path):
+    """Sustained low large-pool occupancy halves large_capacity, but never
+    below the 8192 floor: under ~16K slots the [C_L] stage cost is noise,
+    while a shrink/regrow flip costs two recompiles and a transient drop
+    step (measured on a 20k tex run: 6912 -> 3456 -> 6912 oscillation with
+    3.5K large drops on the regrow edge)."""
+    t = _pallas_trainer(tmp_path, max_instances=4096, size=128,
+                        capacity=65536)
+    t._stream_probed = True
+    from mini3dgs_tpu.ops.binning import plan_two_level
+    two_level, _, _ = plan_two_level(
+        65536, 128, 128, t.settings.tile_size, t.settings.radius_max,
+        t.settings.max_dup_per_axis, 32768)
+    assert two_level, "fixture must land in the two-level regime"
+    t.settings = t.settings.replace(large_capacity=32768)
+    low = {"render_instances": 100.0, "render_drops": 0.0,
+           "render_drops_large": 0.0, "render_n_large": 10.0}
+    for lc_expect in (16384, 8192):
+        for _ in range(8):
+            t._maybe_resize_stream(dict(low))
+        assert t.settings.large_capacity == lc_expect
+    # at the floor: eight more low windows must NOT shrink further
+    for _ in range(8):
+        t._maybe_resize_stream(dict(low))
+    assert t.settings.large_capacity == 8192
+
+
 def test_render_reports_large_pool_drops():
     """A scene of many >2x2-tile splats against a tiny large_capacity must
     surface the overflow in n_dropped_large (and include it in n_dropped's
@@ -501,10 +528,12 @@ def test_render_reports_large_pool_occupancy():
 
 def test_auto_large_pool_shrinks_and_regrows(tmp_path):
     """Round-5: sustained low large-pool occupancy must shrink
-    large_capacity (8 consecutive window maxima < 35%, halve, floor 256)
-    — per-step candidate-sort cost is linear in the STATIC pool size — and
-    a later overflow must grow it back.  Exercised through the real sizer
-    with fabricated window metrics (the plan decision is the real one)."""
+    large_capacity (8 consecutive window maxima < 35%, halve) — per-step
+    candidate-sort cost is linear in the STATIC pool size — and a later
+    overflow must grow it back.  A pool already at/below the 8192 floor
+    must NOT shrink-recompile at all (the sub-floor [C_L] stage cost is
+    noise against the recompile).  Exercised through the real sizer with
+    fabricated window metrics (the plan decision is the real one)."""
     from mini3dgs_tpu.ops.binning import plan_two_level
 
     t = _pallas_trainer(tmp_path, max_instances=4096)
@@ -519,31 +548,26 @@ def test_auto_large_pool_shrinks_and_regrows(tmp_path):
     assert two and eff == 512            # C/8 default, two-level active
     m = {"render_instances": 100.0, "render_drops": 0.0,
          "render_drops_large": 0.0, "render_n_large": 10.0}
-    for _ in range(7):
+    # 512 < 2*floor: sustained low occupancy never shrink-recompiles
+    for _ in range(17):
         t._maybe_resize_stream(dict(m))
-        assert t.settings.large_capacity == 0    # hysteresis: not yet
-    t._maybe_resize_stream(dict(m))
-    assert t.settings.large_capacity == 256      # 512 -> 256 (floor)
-    # floor reached: further low-occupancy windows must NOT keep
-    # shrink-recompiling
-    for _ in range(9):
-        t._maybe_resize_stream(dict(m))
-    assert t.settings.large_capacity == 256
-    # later overflow grows it back
+        assert t.settings.large_capacity == 0
+    # overflow still grows it
     t._maybe_resize_stream({"render_instances": 100.0, "render_drops": 3.0,
                             "render_drops_large": 3.0,
                             "render_n_large": 300.0})
-    assert t.settings.large_capacity == 512
+    assert t.settings.large_capacity == 1024
 
 
 def test_probe_sizes_large_pool(tmp_path):
     """The initial probe render must also size the LARGE pool: an
     all-small-splat scene leaves the C/8 default pool nearly empty, and
     the probe shrinks it before the first step (the runtime sizer would
-    pay 8 windows of tax first)."""
+    pay 8 windows of tax first) — but not below the 8192 floor."""
     size = 128
     cfg = TrainingConfig(
-        capacity=4096, image_height=size, image_width=size, use_pallas=True,
+        capacity=131072, image_height=size, image_width=size,
+        use_pallas=True,
         max_instances=1 << 16, gaussian_chunk=32,
         iterations=100, densify_from_iter=10 ** 9, densify_interval=10,
         opacity_reset_interval=0, log_interval=10, eval_interval=10 ** 9,
@@ -554,8 +578,9 @@ def test_probe_sizes_large_pool(tmp_path):
                               use_pallas=True, max_instances=1 << 16,
                               gaussian_chunk=32)
     init = create_from_random(jax.random.PRNGKey(0), 200, scene_extent=0.4,
-                              capacity=4096)
+                              capacity=131072)
     t = GaussianTrainer(cfg, settings)
     t.setup(dataset=ds, gaussians=init)
     t._auto_size_stream_initial()
-    assert t.settings.large_capacity == 256     # 512 default -> census-sized
+    # C/8 default = 16384, census ~0 -> clamped at the 8192 floor
+    assert t.settings.large_capacity == 8192
